@@ -1,0 +1,101 @@
+"""Static-shape host->device input pipeline.
+
+TPU-native replacement for the reference's PyTorch ``DataLoader`` stack
+(reference: src/model/data_prep.py:230-320 ``collate_recommender_batch``
+with per-element Python loops, and :397-444 ``ConsistentBatchSampler``
+which pads the final batch by repeating indices so every batch has an
+identical size — exactly what XLA's one-executable compilation model
+wants).
+
+Design: the host only shuffles indices and slices contiguous NumPy arrays
+(zero per-row Python work); negatives are sampled *on device inside the
+jitted train step* (ncf_tpu.data.sampler), so a batch is just
+``{user_ids, item_ids, hour, day, month, day_of_year}`` int32 vectors.
+A small lookahead queue overlaps ``jax.device_put`` with compute.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ncf_tpu.data.interactions import Interactions
+from ncf_tpu.data.synthetic import temporal_features
+
+Batch = Dict[str, np.ndarray]
+
+
+class BatchIterator:
+    """Shuffled, fixed-size batches over an interaction log.
+
+    Every batch has exactly ``batch_size`` rows; the last batch is padded by
+    repeating indices (ConsistentBatchSampler semantics,
+    data_prep.py:428-439) so one compiled executable serves the whole epoch.
+    """
+
+    def __init__(
+        self,
+        interactions: Interactions,
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_remainder: bool = False,
+    ):
+        self.inter = interactions
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        hour, day, month, doy = temporal_features(interactions.timestamps)
+        self._cols: Batch = {
+            "user_ids": interactions.user_ids,
+            "item_ids": interactions.item_ids,
+            "hour": hour,
+            "day": day,
+            "month": month,
+            "day_of_year": doy,
+        }
+        n = len(interactions)
+        if drop_remainder:
+            self.num_batches = n // self.batch_size
+        else:
+            self.num_batches = max(1, -(-n // self.batch_size))
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
+        n = len(self.inter)
+        idx = np.arange(n)
+        if self.shuffle:
+            # per-epoch deterministic shuffle (trainer reproducibility)
+            rng = np.random.default_rng(self._rng.bit_generator.seed_seq.entropy or 0)
+            for _ in range(epoch_idx + 1):
+                perm = rng.permutation(n)
+            idx = idx[perm]
+        B = self.batch_size
+        for b in range(self.num_batches):
+            sl = idx[b * B : (b + 1) * B]
+            if len(sl) < B:
+                # pad by repeating indices (data_prep.py:428-439)
+                pad = idx[: B - len(sl)] if len(idx) >= B - len(sl) else np.resize(sl, B - len(sl))
+                sl = np.concatenate([sl, pad])
+            yield {k: v[sl] for k, v in self._cols.items()}
+
+
+def prefetch_to_device(iterator: Iterator[Batch], size: int = 2) -> Iterator:
+    """Overlap host->device transfer with compute: keep ``size`` batches
+    in flight via ``jax.device_put`` (the host->device boundary the
+    reference pays per batch at trainer.py:253 ``features.to(device)``)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(jax.device_put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,151 @@
+"""Vectorized negative sampling — device-side (jittable) and host-side.
+
+TPU-native replacement for the reference's per-item Python rejection
+sampling (reference: src/model/data_prep.py:134-161 ``_sample_negative``:
+<=10 rejection attempts from an inverse-popularity distribution avoiding
+the user's positives, then exact fallback) and the batch-level uniform
+``NegativeSampler`` (src/data/negative_sampler.py:6-38).
+
+On TPU the sampler runs *inside the jitted train step*: a fixed number of
+categorical re-draw rounds with masked acceptance, entirely static-shape.
+The exact-exclusion guarantee against the user's full history is provided
+by the host-side sampler (used for eval candidate sets, where exactness
+matters for metric comparability — SURVEY.md §2.9.9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("num_negatives", "num_rounds", "num_items"))
+def sample_negatives(
+    rng: jax.Array,
+    pos_items: jax.Array,          # int32 [B] — the positive item per row
+    num_items: int,
+    num_negatives: int,
+    log_weights: Optional[jax.Array] = None,  # f32 [num_items] log sampling weights
+    history: Optional[jax.Array] = None,      # int32 [B, H] padded with -1
+    num_rounds: int = 8,
+) -> jax.Array:
+    """Draw ``[B, num_negatives]`` negatives on device.
+
+    Each slot draws ``num_rounds`` candidates from the (inverse-popularity)
+    categorical distribution and keeps the first that collides with neither
+    the row's positive nor (optionally) the padded user history — the
+    static-shape analogue of the reference's rejection loop
+    (data_prep.py:134-161).  If all rounds collide, the last draw is kept
+    (collision probability after 8 weighted rounds is negligible and
+    standard in NCF training).
+    """
+    B = pos_items.shape[0]
+    shape = (num_rounds, B, num_negatives)
+    if log_weights is None:
+        cands = jax.random.randint(rng, shape, 0, num_items, dtype=jnp.int32)
+    else:
+        cands = jax.random.categorical(
+            rng, log_weights[None, None, :], axis=-1, shape=shape
+        ).astype(jnp.int32)
+
+    ok = cands != pos_items[None, :, None]
+    if history is not None:
+        # [R, B, N, H] membership test against the padded history.
+        hit = (cands[..., None] == history[None, :, None, :]).any(-1)
+        ok = ok & ~hit
+
+    # First acceptable round per slot; fall back to the last round.
+    first = jnp.argmax(ok, axis=0)                      # [B, N]
+    any_ok = ok.any(axis=0)
+    pick = jnp.where(any_ok, first, num_rounds - 1)
+    return jnp.take_along_axis(cands, pick[None], axis=0)[0]
+
+
+def sample_eval_negatives(
+    rng: np.random.Generator,
+    eval_users: np.ndarray,        # int32 [U']
+    history_offsets: np.ndarray,   # int64 [num_users + 1] CSR offsets
+    history_items: np.ndarray,     # int32 [N] sorted-within-user
+    num_items: int,
+    num_negatives: int = 100,
+) -> np.ndarray:
+    """Host-side exact negative sampling for leave-one-out eval.
+
+    For each eval user, uniformly sample ``num_negatives`` items not in the
+    user's full history (the protocol the reference intended, fixing
+    SURVEY.md §2.9.9).  Vectorized rejection: draw, test membership via
+    sorted-history binary search, re-draw only the colliding entries.
+    """
+    U = len(eval_users)
+    out = np.empty((U, num_negatives), np.int32)
+    rows = np.repeat(np.arange(U), num_negatives)
+    draw = rng.integers(0, num_items, size=U * num_negatives).astype(np.int32)
+
+    def collides(rows_flat: np.ndarray, items_flat: np.ndarray) -> np.ndarray:
+        res = np.zeros(len(rows_flat), bool)
+        for k in range(len(rows_flat)):
+            u = eval_users[rows_flat[k]]
+            lo, hi = history_offsets[u], history_offsets[u + 1]
+            seg = history_items[lo:hi]
+            j = np.searchsorted(seg, items_flat[k])
+            res[k] = j < len(seg) and seg[j] == items_flat[k]
+        return res
+
+    # Faster vectorized membership: searchsorted per row segment is the
+    # Python loop above; for large U' do it chunk-wise on the sorted pairs.
+    bad = _membership(eval_users[rows], draw, history_offsets, history_items)
+    attempts = 0
+    while bad.any() and attempts < 100:
+        n_bad = int(bad.sum())
+        draw[bad] = rng.integers(0, num_items, size=n_bad).astype(np.int32)
+        bad_idx = np.nonzero(bad)[0]
+        still = _membership(
+            eval_users[rows[bad_idx]], draw[bad_idx], history_offsets, history_items)
+        bad = np.zeros_like(bad)
+        bad[bad_idx[still]] = True
+        attempts += 1
+    out[:] = draw.reshape(U, num_negatives)
+    return out
+
+
+def _membership(
+    users: np.ndarray, items: np.ndarray,
+    offsets: np.ndarray, sorted_items: np.ndarray,
+) -> np.ndarray:
+    """Vectorized 'is item in user's sorted history segment' test."""
+    lo = offsets[users]
+    hi = offsets[users + 1]
+    # binary search within each [lo, hi) segment, vectorized over queries
+    res = np.zeros(len(users), bool)
+    left = lo.copy()
+    right = hi.copy()
+    while True:
+        active = left < right
+        if not active.any():
+            break
+        mid = (left + right) // 2
+        vals = np.where(active, sorted_items[np.minimum(mid, len(sorted_items) - 1)], 0)
+        go_right = active & (vals < items)
+        found = active & (vals == items)
+        res |= found
+        left = np.where(go_right, mid + 1, left)
+        right = np.where(active & ~go_right & ~found, mid, right)
+        left = np.where(found, right, left)  # terminate found lanes
+    return res
+
+
+def padded_histories(
+    offsets: np.ndarray, items: np.ndarray, users: np.ndarray, max_len: int
+) -> np.ndarray:
+    """Gather per-user histories into a dense [len(users), max_len] array
+    padded with -1 (for the device-side exclusion test)."""
+    out = np.full((len(users), max_len), -1, np.int32)
+    for r, u in enumerate(users):
+        lo, hi = offsets[u], offsets[u + 1]
+        seg = items[lo:hi][:max_len]
+        out[r, : len(seg)] = seg
+    return out

@@ -1,0 +1,110 @@
+"""Jitted training and validation steps.
+
+The reference's hot loop is spread across DataLoader workers, a Python
+collate, host->device copies, forward, backward and the optimizer step
+(reference: src/model/trainer.py:216-337; SURVEY.md §3.1).  Here the
+entire per-batch computation — device-side negative sampling, forward,
+BCE-with-logits loss, backward, gradient clip, Adam update, batch stats —
+is ONE jitted function with donated params/optimizer state, so XLA fuses
+it into a single executable and the host only feeds int32 id batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ncf_tpu.data.sampler import sample_negatives
+from ncf_tpu.evals.metrics import accuracy_stats
+from ncf_tpu.utils.config import Config
+
+
+def bce_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Sigmoid BCE with logits (the stable form of the reference's
+    Sigmoid + nn.BCELoss, trainer.py:78)."""
+    return optax.sigmoid_binary_cross_entropy(logits, targets).mean()
+
+
+def make_train_step(
+    model,
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    log_neg_weights: Optional[jax.Array] = None,  # [num_items] log sampling weights
+    item_dept: Optional[jax.Array] = None,
+    item_cat: Optional[jax.Array] = None,
+) -> Callable:
+    """Returns jitted ``train_step(params, opt_state, rng, batch) ->
+    (params, opt_state, rng, metrics)``.
+
+    ``batch``: {user_ids[B], item_ids[B] (positives), hour, day, month,
+    day_of_year — each int32 [B]}.  Negatives are sampled on device from
+    the inverse-popularity distribution (data_prep.py:94-161 equivalents).
+    """
+    mcfg = cfg.model
+    S = 1 + mcfg.negative_samples
+
+    def loss_fn(params, batch, rng):
+        rng_neg, rng_drop = jax.random.split(rng)
+        pos = batch["item_ids"]
+        negs = sample_negatives(
+            rng_neg, pos, mcfg.num_items, mcfg.negative_samples,
+            log_weights=log_neg_weights)
+        items = jnp.concatenate([pos[:, None], negs], axis=1)       # [B, S]
+        temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
+                    if k in batch} or None
+        logits = model.apply(
+            params, mcfg, batch["user_ids"], items, temporal,
+            item_dept, item_cat,
+            candidate_attention=True, deterministic=False, rng=rng_drop)
+        targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
+        return bce_loss(logits, targets), (logits, targets)
+
+    @jax.jit
+    def train_step(params, opt_state, rng, batch):
+        rng, step_rng = jax.random.split(rng)
+        (loss, (logits, targets)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, step_rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, **accuracy_stats(logits, targets)}
+        return params, opt_state, rng, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model,
+    cfg: Config,
+    log_neg_weights: Optional[jax.Array] = None,
+    item_dept: Optional[jax.Array] = None,
+    item_cat: Optional[jax.Array] = None,
+) -> Callable:
+    """Validation loss on held-out interactions with freshly sampled
+    negatives (reference ``validate``, trainer.py:350-410, minus its
+    all-positive degeneracy): returns per-batch loss + accuracy stats."""
+    mcfg = cfg.model
+    S = 1 + mcfg.negative_samples
+
+    @jax.jit
+    def eval_step(params, rng, batch):
+        rng, step_rng = jax.random.split(rng)
+        pos = batch["item_ids"]
+        negs = sample_negatives(
+            step_rng, pos, mcfg.num_items, mcfg.negative_samples,
+            log_weights=log_neg_weights)
+        items = jnp.concatenate([pos[:, None], negs], axis=1)
+        temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
+                    if k in batch} or None
+        logits = model.apply(
+            params, mcfg, batch["user_ids"], items, temporal,
+            item_dept, item_cat,
+            candidate_attention=True, deterministic=True)
+        targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
+        metrics = {"loss": bce_loss(logits, targets),
+                   **accuracy_stats(logits, targets)}
+        return rng, metrics
+
+    return eval_step

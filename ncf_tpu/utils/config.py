@@ -1,0 +1,215 @@
+"""Dataclass configuration system with YAML load + CLI overrides.
+
+TPU-native equivalent of the reference's YAML `ConfigLoader`
+(reference: src/utils/config.py:9-80 and config/config.yaml) plus the
+argparse CLIs (src/model/task.py:169-201).  One typed tree, one loader,
+dotted-path CLI overrides, and an explicit mesh/sharding section that the
+reference lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+try:  # pyyaml is available in the image; gate anyway.
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+
+@dataclass
+class ModelConfig:
+    """AdvancedNCF hyperparameters (reference: src/model/architecture.py:121-133)."""
+
+    name: str = "advanced_ncf"  # one of: ncf | neumf | advanced_ncf
+    num_users: int = 8031
+    num_items: int = 366
+    num_departments: int = 9
+    num_categories: int = 30
+    mf_dim: int = 64
+    mlp_dim: int = 64
+    temporal_dim: int = 32
+    mlp_hidden_dims: List[int] = field(default_factory=lambda: [256, 128, 64])
+    num_heads: int = 4
+    dropout: float = 0.2
+    negative_samples: int = 4
+    # TPU-first additions (not in reference):
+    compute_dtype: str = "bfloat16"  # activations dtype for matmul paths
+    param_dtype: str = "float32"
+    use_temporal: bool = True   # reference zeroes temporal in main fwd (bug §2.9.6); we train it
+    use_category: bool = True   # reference never wires CategoryHierarchy into fwd; we do
+
+
+@dataclass
+class DataConfig:
+    """Dataset selection + splits (reference: src/model/data_prep.py:13-110)."""
+
+    dataset: str = "synthetic"          # synthetic | movielens | parquet
+    path: str = ""                      # movielens dir or parquet file
+    validation_days: int = 10           # time-based split (data_prep.py:77-88)
+    num_eval_negatives: int = 100       # leave-one-out eval candidates (fixes §2.9.9)
+    min_user_interactions: int = 2
+    # synthetic generator scale (reference datagen defaults, scripts/1.*/02*)
+    synthetic_users: int = 8031
+    synthetic_items: int = 366
+    synthetic_days: int = 90
+    synthetic_seed: int = 0
+    synthetic_avg_txns_per_user: int = 12
+
+
+@dataclass
+class TrainConfig:
+    """Training loop settings (reference: config/config.yaml:62-75, trainer.py:27-95)."""
+
+    batch_size: int = 256
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    num_epochs: int = 50
+    early_stopping_patience: int = 5
+    gradient_clip_norm: float = 5.0
+    lr_schedule: str = "constant"       # constant | cosine
+    warmup_steps: int = 0
+    seed: int = 0
+    eval_every_epochs: int = 1
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    log_every_steps: int = 100
+    metrics_file: str = ""              # JSONL metrics sink ("" = disabled)
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh / sharding (TPU-native; no reference equivalent —
+    replaces torchrec DistributedModelParallel, trainer.py:85-88)."""
+
+    dcn_axis: int = 1                   # hosts (data-parallel over DCN)
+    ici_axis: int = -1                  # chips per host; -1 = all local devices
+    shard_embeddings: bool = True       # row-shard tables over 'ici'
+    use_shard_map: bool = False         # explicit all-to-all path vs pjit auto
+
+
+@dataclass
+class ServingConfig:
+    """Serving path (reference: config/config.yaml:161-187, src/inference/)."""
+
+    top_k: int = 10
+    candidate_batch: int = 4096         # item block size for streaming top-k
+    user_batch: int = 256
+    cache_feature_ttl_s: int = 3600     # cache.py:86-87
+    cache_embedding_ttl_s: int = 86400
+    host: str = "127.0.0.1"
+    port: int = 8080
+    model_version: str = "0.1.0"
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+
+    # ------------------------------------------------------------------ I/O
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        cfg = cls()
+        for section_name, section_val in (d or {}).items():
+            if not hasattr(cfg, section_name):
+                logging.warning("config: unknown section %r ignored", section_name)
+                continue
+            section = getattr(cfg, section_name)
+            if not dataclasses.is_dataclass(section):
+                setattr(cfg, section_name, section_val)
+                continue
+            for k, v in (section_val or {}).items():
+                if not hasattr(section, k):
+                    logging.warning("config: unknown key %s.%s ignored", section_name, k)
+                    continue
+                setattr(section, k, v)
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        if yaml is None:  # pragma: no cover
+            raise RuntimeError("pyyaml not available")
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def save_yaml(self, path: str) -> None:
+        if yaml is None:  # pragma: no cover
+            raise RuntimeError("pyyaml not available")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    # ------------------------------------------------------------- overrides
+
+    def apply_overrides(self, overrides: Sequence[str]) -> "Config":
+        """Apply ``section.key=value`` CLI overrides in place.
+
+        Values are parsed with YAML rules so ``train.learning_rate=3e-4``,
+        ``model.mlp_hidden_dims=[128,64]`` and ``mesh.shard_embeddings=false``
+        all do the right thing.
+        """
+        for ov in overrides:
+            if "=" not in ov:
+                raise ValueError(f"override {ov!r} is not of the form path=value")
+            path, raw = ov.split("=", 1)
+            value = yaml.safe_load(raw) if yaml is not None else raw
+            if isinstance(value, str):
+                # YAML 1.1 misses floats like "3e-4" (no dot); coerce
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
+            parts = path.split(".")
+            obj: Any = self
+            for p in parts[:-1]:
+                if not hasattr(obj, p):
+                    raise ValueError(f"unknown config path {path!r}")
+                obj = getattr(obj, p)
+            if not hasattr(obj, parts[-1]):
+                raise ValueError(f"unknown config key {path!r}")
+            setattr(obj, parts[-1], value)
+        return self
+
+    # ------------------------------------------------------------ validation
+
+    def validate(self) -> "Config":
+        """Fail fast on inconsistent settings (reference: trainer.py:33-52
+        validates required keys at trainer construction; we validate types
+        and invariants up front)."""
+        m, t = self.model, self.train
+        if m.mlp_dim % m.num_heads != 0:
+            raise ValueError(
+                f"mlp_dim ({m.mlp_dim}) must be divisible by num_heads ({m.num_heads})")
+        if m.num_users <= 0 or m.num_items <= 0:
+            raise ValueError("num_users and num_items must be positive")
+        if t.batch_size <= 0 or t.learning_rate <= 0:
+            raise ValueError("batch_size and learning_rate must be positive")
+        if m.negative_samples < 1:
+            raise ValueError("negative_samples must be >= 1")
+        return self
+
+
+def setup_logging(level: str = "INFO", log_file: Optional[str] = None) -> None:
+    """Console (+ optional file) logging, reference: src/utils/config.py:65-80."""
+    handlers: List[logging.Handler] = [logging.StreamHandler()]
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        handlers.append(logging.FileHandler(log_file))
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )

@@ -1,0 +1,87 @@
+"""Negative sampler property tests (reference: data_prep.py:134-161,
+negative_sampler.py:6-38)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ncf_tpu.data.sampler import (
+    _membership,
+    padded_histories,
+    sample_eval_negatives,
+    sample_negatives,
+)
+
+
+class TestDeviceSampler:
+    def test_shape_and_range(self):
+        key = jax.random.PRNGKey(0)
+        pos = jnp.arange(32) % 10
+        negs = sample_negatives(key, pos, num_items=50, num_negatives=4)
+        assert negs.shape == (32, 4)
+        assert (np.asarray(negs) >= 0).all() and (np.asarray(negs) < 50).all()
+
+    def test_avoids_positive(self):
+        key = jax.random.PRNGKey(1)
+        pos = jnp.full((256,), 3, jnp.int32)
+        negs = np.asarray(sample_negatives(key, pos, num_items=20,
+                                           num_negatives=4, num_rounds=10))
+        # with 10 weighted redraw rounds over 20 items, collisions with the
+        # positive should be essentially absent
+        assert (negs == 3).mean() < 0.01
+
+    def test_respects_weights(self):
+        key = jax.random.PRNGKey(2)
+        # weight mass concentrated on item 7
+        w = np.full(10, 1e-6); w[7] = 1.0
+        logw = jnp.log(jnp.asarray(w / w.sum()))
+        pos = jnp.zeros(512, jnp.int32)
+        negs = np.asarray(sample_negatives(key, pos, 10, 4, log_weights=logw))
+        assert (negs == 7).mean() > 0.95
+
+    def test_history_exclusion(self):
+        key = jax.random.PRNGKey(3)
+        pos = jnp.zeros(128, jnp.int32)
+        history = jnp.tile(jnp.array([[1, 2, 3, -1]]), (128, 1))
+        negs = np.asarray(sample_negatives(
+            key, pos, num_items=8, num_negatives=4,
+            history=history, num_rounds=16))
+        hit_rate = np.isin(negs, [0, 1, 2, 3]).mean()
+        assert hit_rate < 0.02
+
+    def test_deterministic_under_same_key(self):
+        key = jax.random.PRNGKey(4)
+        pos = jnp.arange(16)
+        a = sample_negatives(key, pos, 100, 4)
+        b = sample_negatives(key, pos, 100, 4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestHostEvalSampler:
+    def test_exact_exclusion(self, tiny_interactions):
+        inter = tiny_interactions
+        offsets, items = inter.user_histories()
+        users = np.arange(inter.num_users, dtype=np.int32)
+        rng = np.random.default_rng(0)
+        negs = sample_eval_negatives(rng, users, offsets, items,
+                                     inter.num_items, num_negatives=20)
+        assert negs.shape == (inter.num_users, 20)
+        # exhaustive check: no sampled negative is in the user's history
+        for u in range(inter.num_users):
+            hist = set(items[offsets[u]:offsets[u + 1]].tolist())
+            assert not hist & set(negs[u].tolist())
+
+    def test_membership_helper(self):
+        offsets = np.array([0, 3, 5])
+        items = np.array([2, 5, 9, 1, 4])
+        users = np.array([0, 0, 1, 1, 0])
+        query = np.array([5, 3, 4, 5, 9])
+        got = _membership(users, query, offsets, items)
+        np.testing.assert_array_equal(got, [True, False, True, False, True])
+
+    def test_padded_histories(self):
+        offsets = np.array([0, 2, 3])
+        items = np.array([4, 7, 1])
+        out = padded_histories(offsets, items, np.array([0, 1]), max_len=4)
+        np.testing.assert_array_equal(out[0], [4, 7, -1, -1])
+        np.testing.assert_array_equal(out[1], [1, -1, -1, -1])

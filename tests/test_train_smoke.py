@@ -1,0 +1,72 @@
+"""End-to-end training smoke tests (SURVEY.md §4 plan (e)): the jitted
+train step reduces loss, the Trainer loop runs with validation + ranking
+eval, checkpoints land on disk, and resume restores state."""
+
+import jax
+import numpy as np
+import pytest
+
+from ncf_tpu.data.synthetic import generate_interactions
+from ncf_tpu.train.trainer import Trainer
+from ncf_tpu.utils.config import Config
+
+
+def small_cfg(tmp_path, **train_kw) -> Config:
+    cfg = Config()
+    cfg.model.mf_dim = 16
+    cfg.model.mlp_dim = 16
+    cfg.model.temporal_dim = 8
+    cfg.model.mlp_hidden_dims = [32, 16]
+    cfg.model.compute_dtype = "float32"
+    cfg.model.negative_samples = 4
+    cfg.data.validation_days = 5
+    cfg.data.num_eval_negatives = 50
+    cfg.train.batch_size = 128
+    cfg.train.num_epochs = 3
+    cfg.train.log_every_steps = 5
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    for k, v in train_kw.items():
+        setattr(cfg.train, k, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def inter():
+    return generate_interactions(
+        num_users=300, num_items=80, num_days=40,
+        avg_txns_per_user=15, seed=11)
+
+
+class TestTrainerSmoke:
+    def test_loss_decreases_and_ranking_beats_random(self, inter, tmp_path):
+        cfg = small_cfg(tmp_path)
+        trainer = Trainer(cfg, inter)
+
+        first_val = trainer.validate(epoch=-1)
+        best = trainer.train()
+        final_val = trainer.validate(epoch=99)
+
+        assert final_val["val_loss"] < first_val["val_loss"]
+        # random ranking => hr@10 ~ 10/51 ~ 0.196; trained must beat it
+        assert final_val["hr@10"] > 0.27, final_val
+        assert best, "train() should return best metrics"
+
+    def test_checkpoint_and_resume(self, inter, tmp_path):
+        cfg = small_cfg(tmp_path, num_epochs=1)
+        t1 = Trainer(cfg, inter)
+        t1.train()
+        assert t1.global_step > 0
+
+        t2 = Trainer(cfg, inter)
+        assert t2.resume()
+        assert t2.global_step == t1.global_step
+        assert t2.start_epoch == 1
+        a = jax.tree_util.tree_leaves(t1.params)
+        b = jax.tree_util.tree_leaves(t2.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    def test_resume_without_checkpoint_is_false(self, inter, tmp_path):
+        cfg = small_cfg(tmp_path / "none", num_epochs=1)
+        t = Trainer(cfg, inter)
+        assert not t.resume()
