@@ -24,7 +24,7 @@ import numpy as np
 # ML-1M scale (BASELINE.json config 3)
 NUM_USERS = 6040
 NUM_ITEMS = 3706
-BATCH = 8192
+BATCH = 16384
 WARMUP = 10
 STEPS = 50
 
@@ -52,9 +52,10 @@ def build():
     item_dept = jnp.asarray(rng_np.integers(0, 9, NUM_ITEMS), jnp.int32)
     item_cat = jnp.asarray(rng_np.integers(0, 30, NUM_ITEMS), jnp.int32)
     counts = rng_np.zipf(1.3, NUM_ITEMS).astype(np.float64)
-    log_w = jnp.asarray(np.log(counts / counts.sum()), jnp.float32)
+    from ncf_tpu.data.sampler import make_sampling_cdf
+    neg_cdf = make_sampling_cdf(1.0 / counts)
 
-    train_step = make_train_step(model, cfg, optimizer, log_w, item_dept, item_cat)
+    train_step = make_train_step(model, cfg, optimizer, neg_cdf, item_dept, item_cat)
 
     batch = {
         "user_ids": jnp.asarray(

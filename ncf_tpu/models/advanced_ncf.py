@@ -10,6 +10,34 @@ Linear(64,1)), and a final Linear(2,1) fusion.  Scores are returned as
 serving path — numerically stabler than the reference's Sigmoid+BCELoss
 (architecture.py:249-252, trainer.py:78).
 
+TPU-first algebraic optimizations (verified exact-equivalent in
+tests/test_models.py::TestAttentionEquivalence):
+
+1. **Single-query candidate attention.**  The reference builds its
+   attention query by repeating the user embedding across all S candidate
+   slots (architecture.py:315-323), so every query position is identical
+   and the attention output is the same vector for every slot.  We
+   therefore compute it once with Sq=1 — no [B, H, S, S] score tensor, no
+   head transposes, and the MLP tower runs on [B, d+dt] instead of
+   [B*S, d+dt] (its output is broadcast back over S, exactly as the
+   reference's identical-per-slot outputs are).
+
+2. **Singleton attention is a linear map.**  Softmax over a single key is
+   constant 1, so MHA(q, x, x) with one key reduces to Wo(Wv x + bv) + bo.
+   The eval-mode per-candidate attention (architecture.py:275) and the
+   category-hierarchy fusion (architecture.py:111-119) are computed in
+   that closed form.  (The q/k projections of those blocks are retained in
+   the param tree for structural parity but are mathematically inert —
+   exactly as they are in the reference.)
+
+3. **Vocabulary-level precompute.**  Post-lookup LayerNorm and the
+   category-hierarchy vector are pure per-id functions; when the
+   vocabulary is smaller than the batch x slots workload they are computed
+   once over the [num_items, d] / [num_users, d] tables and row-gathered,
+   instead of recomputed per occurrence.  (Training dropout on the
+   hierarchy vector is then shared across same-id occurrences within a
+   step — same expectation, fewer random bits.)
+
 Differences from the reference, by design (SURVEY.md §2.9):
 - temporal encoding is actually wired into training (the reference feeds
   zeros, architecture.py:329-334);
@@ -19,15 +47,15 @@ Differences from the reference, by design (SURVEY.md §2.9):
   architecture.py:409-485) uses a *trained* temporal projection instead of
   constructing a fresh untrained Linear per call (architecture.py:437-441).
 
-Layout notes for TPU: the model consumes ``user_ids [B]`` and
-``item_ids [B, S]`` (the reference flattens users repeated (1+neg)x into a
-KeyedJaggedTensor, architecture.py:274-276 — a torchrec artifact with no
-TPU value).  All shapes are static; the candidate axis S is a compile-time
-constant (1+negatives in training, eval candidates at eval).
+Layout notes: the model consumes ``user_ids [B]`` and ``item_ids [B, S]``
+(the reference flattens users repeated (1+neg)x into a KeyedJaggedTensor,
+architecture.py:274-276 — a torchrec artifact with no TPU value).  All
+shapes are static; S is a compile-time constant.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -41,7 +69,6 @@ from ncf_tpu.models.layers import (
     embedding_init,
     layer_norm,
     layer_norm_init,
-    mha,
     mha_init,
     mlp_tower,
     mlp_tower_init,
@@ -84,30 +111,72 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
     return params
 
 
-def _category_hierarchy(
+# -------------------------------------------------------------- internals
+
+def _singleton_attention(p: Params, x: jax.Array, dtype) -> jax.Array:
+    """MHA(q, x, x) with a single key == Wo(Wv x + bv) + bo (softmax over
+    one key is 1; q/k are inert).  Closed form of architecture.py:459-463
+    eval attention and :111-119 hierarchy fusion."""
+    return dense(p["o"], dense(p["v"], x, dtype), dtype)
+
+
+def _single_query_attention(
     p: Params,
-    dept_ids: jax.Array,   # int32 [...]
-    cat_ids: jax.Array,    # int32 [...]
+    user_mlp: jax.Array,   # [B, D]
+    item_mlp: jax.Array,   # [B, S, D]
     num_heads: int,
     dropout_rate: float,
     rng: Optional[jax.Array],
     deterministic: bool,
     dtype,
 ) -> jax.Array:
-    """Department/category fusion: MHA(cat as query, dept as key/value) +
-    dropout + residual + LayerNorm (architecture.py:96-119).  Operates
-    per-element: the leading shape is flattened to a singleton attention."""
-    shape = dept_ids.shape
-    d = p["cat"].shape[-1]
-    dept_e = embedding_lookup(p["dept"], dept_ids.reshape(-1)).reshape(-1, 1, d)
-    cat_e = embedding_lookup(p["cat"], cat_ids.reshape(-1)).reshape(-1, 1, d)
-    fused = mha(p["attn"], cat_e, dept_e, dept_e, num_heads,
-                dropout_rate=dropout_rate, rng=rng,
-                deterministic=deterministic, dtype=dtype)
-    fused = dropout(rng, fused, dropout_rate, deterministic)
-    out = layer_norm(p["norm"], fused + cat_e)
-    return out.reshape(*shape, d)
+    """Candidate-slot attention with the reference's repeated-user query,
+    computed once (Sq=1): softmax_j(q.k_j/sqrt(hd)) pooled over candidate
+    values, per head.  Returns [B, D] — identical for every slot, exactly
+    as architecture.py:315-326 produces."""
+    B, S, D = item_mlp.shape
+    H = num_heads
+    hd = D // H
+    q = dense(p["q"], user_mlp, dtype)                       # [B, D]
+    k = dense(p["k"], item_mlp, dtype)                       # [B, S, D]
+    v = dense(p["v"], item_mlp, dtype)                       # [B, S, D]
+    # per-head scores without transposes: [B, S, H]
+    scores = (q[:, None, :] * k).reshape(B, S, H, hd).sum(-1) / math.sqrt(hd)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=1)  # over S
+    weights = dropout(rng, weights, dropout_rate, deterministic)
+    pooled = (weights.astype(v.dtype)[..., None]
+              * v.reshape(B, S, H, hd)).sum(axis=1)          # [B, H, hd]
+    return dense(p["o"], pooled.reshape(B, D), dtype)
 
+
+def _hierarchy_table(
+    p: Params,
+    item_dept: jax.Array,   # int32 [num_items]
+    item_cat: jax.Array,    # int32 [num_items]
+    dropout_rate: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+    dtype,
+) -> jax.Array:
+    """Per-item category-hierarchy vectors [num_items, D]:
+    LN(dropout(Wo Wv dept_e) + cat_e) — the closed form of the reference
+    CategoryHierarchy (architecture.py:111-119; its attention is singleton,
+    see _singleton_attention).  A pure function of item id, so computed
+    once over the vocabulary."""
+    dept_e = embedding_lookup(p["dept"], item_dept)          # [I, D]
+    cat_e = embedding_lookup(p["cat"], item_cat)             # [I, D]
+    fused = _singleton_attention(p["attn"], dept_e.astype(dtype), dtype)
+    fused = dropout(rng, fused, dropout_rate, deterministic)
+    return layer_norm(p["norm"], fused.astype(jnp.float32) + cat_e)
+
+
+def _use_vocab_precompute(cfg: ModelConfig, batch_rows: int) -> bool:
+    """Static heuristic: precompute per-vocabulary tables when the
+    vocabulary is smaller than the per-batch occurrence workload."""
+    return cfg.num_items + cfg.num_users <= 4 * batch_rows
+
+
+# ---------------------------------------------------------------- forward
 
 def apply(
     params: Params,
@@ -124,78 +193,96 @@ def apply(
     """Forward pass -> logits [B, S].
 
     ``candidate_attention=True`` reproduces the reference training quirk:
-    attention mixes across the (1+neg) candidate slots of each interaction
-    (architecture.py:315-323).  ``False`` scores each slot independently
-    (singleton attention — the reference's eval / forward_simple semantics,
-    architecture.py:275, 459-463).
+    attention pools over the (1+neg) candidate slots of each interaction
+    with the user as (repeated) query (architecture.py:315-323), making
+    every candidate's score depend on its co-candidates.  ``False`` scores
+    each slot independently (singleton attention — the reference's eval /
+    forward_simple semantics, architecture.py:275, 459-463).
     """
     B, S = item_ids.shape
     dtype = jnp.dtype(cfg.compute_dtype)
-    rngs = {}
+    rngs: Dict[str, jax.Array] = {}
     if rng is not None:
         for i, name in enumerate(["attn", "mlp", "cat"]):
             rngs[name] = jax.random.fold_in(rng, i)
 
-    # ---- embedding lookups (the fbgemm/TorchRec-equivalent hot path)
-    user_mf = embedding_lookup(params["mf_user"], user_ids)          # [B, dmf]
-    item_mf = embedding_lookup(params["mf_item"], item_ids)          # [B, S, dmf]
-    user_mlp = embedding_lookup(params["mlp_user"], user_ids)        # [B, dm]
-    item_mlp = embedding_lookup(params["mlp_item"], item_ids)        # [B, S, dm]
+    use_cat = cfg.use_category and item_dept is not None and item_cat is not None
+    vocab = _use_vocab_precompute(cfg, B * S)
 
-    # shared LayerNorm on both sides of each path (architecture.py:305-312)
-    user_mf = layer_norm(params["mf_norm"], user_mf)
-    item_mf = layer_norm(params["mf_norm"], item_mf)
-    user_mlp = layer_norm(params["mlp_norm"], user_mlp)
-    item_mlp = layer_norm(params["mlp_norm"], item_mlp)
+    # ---- embedding lookups + LayerNorm (the fbgemm/TorchRec-equivalent
+    # hot path; shared norms per architecture.py:305-312).  When the
+    # vocabulary is small, normalize the whole table once and gather
+    # normalized rows; otherwise gather then normalize per occurrence.
+    if vocab:
+        mf_user_t = layer_norm(params["mf_norm"], params["mf_user"])
+        mf_item_t = layer_norm(params["mf_norm"], params["mf_item"])
+        mlp_user_t = layer_norm(params["mlp_norm"], params["mlp_user"])
+        mlp_item_t = layer_norm(params["mlp_norm"], params["mlp_item"])
+        if use_cat:
+            mlp_item_t = mlp_item_t + _hierarchy_table(
+                params["category"], item_dept, item_cat,
+                cfg.dropout, rngs.get("cat"), deterministic, dtype)
+        user_mf = embedding_lookup(mf_user_t, user_ids)
+        item_mf = embedding_lookup(mf_item_t, item_ids)
+        user_mlp = embedding_lookup(mlp_user_t, user_ids)
+        item_mlp = embedding_lookup(mlp_item_t, item_ids)
+    else:
+        user_mf = layer_norm(params["mf_norm"],
+                             embedding_lookup(params["mf_user"], user_ids))
+        item_mf = layer_norm(params["mf_norm"],
+                             embedding_lookup(params["mf_item"], item_ids))
+        user_mlp = layer_norm(params["mlp_norm"],
+                              embedding_lookup(params["mlp_user"], user_ids))
+        item_mlp = layer_norm(params["mlp_norm"],
+                              embedding_lookup(params["mlp_item"], item_ids))
+        if use_cat:
+            hier = _hierarchy_table(
+                params["category"], item_dept[item_ids].reshape(-1),
+                item_cat[item_ids].reshape(-1),
+                cfg.dropout, rngs.get("cat"), deterministic, dtype)
+            item_mlp = item_mlp + hier.reshape(B, S, -1)
 
     # ---- MF path: elementwise product -> Linear(d,1)  (architecture.py:304-308)
-    mf_vector = user_mf[:, None, :] * item_mf                        # [B, S, dmf]
-    mf_pred = dense(params["mf_out"], mf_vector.astype(dtype))       # [B, S, 1] f32
-
-    # ---- category hierarchy into the item tower (first-class; §2.9.6 fix)
-    if cfg.use_category and item_dept is not None and item_cat is not None:
-        hier = _category_hierarchy(
-            params["category"], item_dept[item_ids], item_cat[item_ids],
-            cfg.num_heads, cfg.dropout, rngs.get("cat"), deterministic, dtype)
-        item_mlp = item_mlp + hier
-
-    # ---- attention over candidate slots (architecture.py:315-326)
-    user_q = jnp.broadcast_to(user_mlp[:, None, :], item_mlp.shape)
-    if candidate_attention:
-        attn = mha(params["attn"], user_q, item_mlp, item_mlp, cfg.num_heads,
-                   dropout_rate=cfg.dropout, rng=rngs.get("attn"),
-                   deterministic=deterministic, dtype=dtype)          # [B, S, dm]
-    else:
-        d = item_mlp.shape[-1]
-        attn = mha(params["attn"],
-                   user_q.reshape(B * S, 1, d),
-                   item_mlp.reshape(B * S, 1, d),
-                   item_mlp.reshape(B * S, 1, d),
-                   cfg.num_heads, dropout_rate=cfg.dropout,
-                   rng=rngs.get("attn"), deterministic=deterministic,
-                   dtype=dtype).reshape(B, S, d)
+    mf_vector = user_mf[:, None, :] * item_mf                # [B, S, dmf]
+    mf_pred = dense(params["mf_out"], mf_vector.astype(dtype))  # [B, S, 1] f32
 
     # ---- temporal features (real, trained — fixes architecture.py:329-334)
     if cfg.use_temporal and temporal is not None:
         t_vec = temporal_mod.apply(
             params["temporal"], temporal["hour"], temporal["day"],
-            temporal["month"], temporal["day_of_year"])              # [B, dt]
+            temporal["month"], temporal["day_of_year"])      # [B, dt]
     else:
         t_vec = jnp.zeros((B, cfg.temporal_dim), jnp.float32)
-    t_vec = jnp.broadcast_to(t_vec[:, None, :], (B, S, cfg.temporal_dim))
 
-    combined = jnp.concatenate(
-        [attn.astype(dtype), t_vec.astype(dtype)], axis=-1)          # [B, S, dm+dt]
-
-    # ---- MLP tower -> Linear(h[-1],1)  (architecture.py:343-345)
-    mlp_vec = mlp_tower(params["mlp"], combined, cfg.dropout,
-                        rngs.get("mlp"), deterministic, dtype)
-    mlp_pred = dense(params["mlp_out"], mlp_vec)                     # [B, S, 1]
+    # ---- MLP path (attention -> concat temporal -> tower -> Linear(h,1))
+    if candidate_attention:
+        # one attention + one tower pass per interaction; output identical
+        # across slots (see module docstring, point 1)
+        attn = _single_query_attention(
+            params["attn"], user_mlp, item_mlp, cfg.num_heads,
+            cfg.dropout, rngs.get("attn"), deterministic, dtype)  # [B, dm]
+        combined = jnp.concatenate(
+            [attn.astype(dtype), t_vec.astype(dtype)], axis=-1)   # [B, dm+dt]
+        mlp_vec = mlp_tower(params["mlp"], combined, cfg.dropout,
+                            rngs.get("mlp"), deterministic, dtype)
+        mlp_pred = dense(params["mlp_out"], mlp_vec)              # [B, 1]
+        mlp_pred = jnp.broadcast_to(mlp_pred[:, None, :], (B, S, 1))
+    else:
+        # per-candidate singleton attention == Wo(Wv item) (point 2)
+        attn = _singleton_attention(
+            params["attn"], item_mlp.astype(dtype), dtype)        # [B, S, dm]
+        attn = dropout(rngs.get("attn"), attn, 0.0, deterministic)
+        t_b = jnp.broadcast_to(t_vec[:, None, :], (B, S, cfg.temporal_dim))
+        combined = jnp.concatenate(
+            [attn.astype(dtype), t_b.astype(dtype)], axis=-1)     # [B, S, dm+dt]
+        mlp_vec = mlp_tower(params["mlp"], combined, cfg.dropout,
+                            rngs.get("mlp"), deterministic, dtype)
+        mlp_pred = dense(params["mlp_out"], mlp_vec)              # [B, S, 1]
 
     # ---- fusion: Linear(2,1)  (architecture.py:352-354; sigmoid deferred)
     both = jnp.concatenate(
         [mf_pred.astype(jnp.float32), mlp_pred.astype(jnp.float32)], axis=-1)
-    logits = dense(params["final"], both)                            # [B, S, 1]
+    logits = dense(params["final"], both)                         # [B, S, 1]
     return logits[..., 0]
 
 
@@ -233,7 +320,6 @@ def score_items_with_hour(
 
     user_mf = layer_norm(params["mf_norm"], embedding_lookup(params["mf_user"], user_ids))
     item_mf = layer_norm(params["mf_norm"], embedding_lookup(params["mf_item"], item_ids))
-    user_mlp = layer_norm(params["mlp_norm"], embedding_lookup(params["mlp_user"], user_ids))
     item_mlp = layer_norm(params["mlp_norm"], embedding_lookup(params["mlp_item"], item_ids))
 
     if hour is not None:
@@ -244,8 +330,8 @@ def score_items_with_hour(
 
     mf_pred = dense(params["mf_out"], (user_mf * item_mf).astype(dtype))
 
-    attn = mha(params["attn"], user_mlp[:, None, :], item_mlp[:, None, :],
-               item_mlp[:, None, :], cfg.num_heads, dtype=dtype)[:, 0, :]
+    # singleton attention (architecture.py:459-463) in closed form
+    attn = _singleton_attention(params["attn"], item_mlp.astype(dtype), dtype)
 
     if hour is not None:
         t_vec = embedding_lookup(params["temporal"]["hour"], hour)
@@ -259,6 +345,8 @@ def score_items_with_hour(
         [mf_pred.astype(jnp.float32), mlp_pred.astype(jnp.float32)], axis=-1)
     return jax.nn.sigmoid(dense(params["final"], both)[..., 0])
 
+
+# ----------------------------------------------------------------- export
 
 def get_user_embeddings(params: Params, user_ids: jax.Array) -> Dict[str, jax.Array]:
     """Normalized user embedding export for ANN serving
@@ -287,7 +375,8 @@ def get_product_embeddings(
                           embedding_lookup(params["mlp_item"], item_ids)),
     }
     if cfg.use_category and "category" in params and item_dept is not None:
-        out["category"] = _category_hierarchy(
-            params["category"], item_dept[item_ids], item_cat[item_ids],
-            cfg.num_heads, 0.0, None, True, jnp.dtype(cfg.compute_dtype))
+        table = _hierarchy_table(
+            params["category"], item_dept, item_cat, 0.0, None, True,
+            jnp.dtype(cfg.compute_dtype))
+        out["category"] = embedding_lookup(table, item_ids)
     return out

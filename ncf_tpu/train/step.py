@@ -32,7 +32,7 @@ def make_train_step(
     model,
     cfg: Config,
     optimizer: optax.GradientTransformation,
-    log_neg_weights: Optional[jax.Array] = None,  # [num_items] log sampling weights
+    neg_cdf: Optional[jax.Array] = None,  # [num_items] sampling CDF (make_sampling_cdf)
     item_dept: Optional[jax.Array] = None,
     item_cat: Optional[jax.Array] = None,
 ) -> Callable:
@@ -51,7 +51,7 @@ def make_train_step(
         pos = batch["item_ids"]
         negs = sample_negatives(
             rng_neg, pos, mcfg.num_items, mcfg.negative_samples,
-            log_weights=log_neg_weights)
+            cdf=neg_cdf)
         items = jnp.concatenate([pos[:, None], negs], axis=1)       # [B, S]
         temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
                     if k in batch} or None
@@ -78,7 +78,7 @@ def make_train_step(
 def make_eval_step(
     model,
     cfg: Config,
-    log_neg_weights: Optional[jax.Array] = None,
+    neg_cdf: Optional[jax.Array] = None,
     item_dept: Optional[jax.Array] = None,
     item_cat: Optional[jax.Array] = None,
 ) -> Callable:
@@ -94,7 +94,7 @@ def make_eval_step(
         pos = batch["item_ids"]
         negs = sample_negatives(
             step_rng, pos, mcfg.num_items, mcfg.negative_samples,
-            log_weights=log_neg_weights)
+            cdf=neg_cdf)
         items = jnp.concatenate([pos[:, None], negs], axis=1)
         temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
                     if k in batch} or None

@@ -22,6 +22,7 @@ import numpy as np
 
 from ncf_tpu.data.interactions import Interactions
 from ncf_tpu.data.pipeline import BatchIterator, prefetch_to_device
+from ncf_tpu.data.sampler import make_sampling_cdf
 from ncf_tpu.evals.evaluate import EvalSet, evaluate, make_score_fn
 from ncf_tpu.models import get_model
 from ncf_tpu.train import checkpoint as ckpt_lib
@@ -81,7 +82,7 @@ class Trainer:
 
         # ---- device constants
         w = train_inter.inverse_popularity_weights()
-        self.log_neg_weights = jnp.log(jnp.asarray(w) + 1e-12)
+        self.neg_cdf = make_sampling_cdf(w)
         self.item_dept = (jnp.asarray(interactions.item_dept)
                           if interactions.item_dept is not None else None)
         self.item_cat = (jnp.asarray(interactions.item_cat)
@@ -95,10 +96,10 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
         self.train_step = make_train_step(
-            self.model, cfg, self.optimizer, self.log_neg_weights,
+            self.model, cfg, self.optimizer, self.neg_cdf,
             self.item_dept, self.item_cat)
         self.eval_step = make_eval_step(
-            self.model, cfg, self.log_neg_weights, self.item_dept, self.item_cat)
+            self.model, cfg, self.neg_cdf, self.item_dept, self.item_cat)
 
         self.metrics_logger = MetricsLogger(cfg.train.metrics_file or None)
         self.global_step = 0

@@ -175,6 +175,97 @@ class TestAdvancedNCF:
         assert pe["category"].shape == (7, cfg.mlp_dim)
 
 
+def naive_apply(params, cfg, user_ids, item_ids, temporal, item_dept, item_cat,
+                candidate_attention=True):
+    """Direct transcription of the reference forward math
+    (architecture.py:258-381) using the generic MHA: repeated-user query
+    over candidate slots, per-occurrence category hierarchy, per-slot MLP
+    tower.  The optimized ncf_tpu.models.advanced_ncf.apply must match
+    this exactly (deterministic mode)."""
+    from ncf_tpu.models.layers import dense, layer_norm, mha, mlp_tower
+    from ncf_tpu.models import temporal as T
+    import jax.numpy as jnp
+
+    B, S = item_ids.shape
+    D = cfg.mlp_dim
+    take = lambda t, i: jnp.take(t, i, axis=0)
+    user_mf = layer_norm(params["mf_norm"], take(params["mf_user"], user_ids))
+    item_mf = layer_norm(params["mf_norm"], take(params["mf_item"], item_ids))
+    user_mlp = layer_norm(params["mlp_norm"], take(params["mlp_user"], user_ids))
+    item_mlp = layer_norm(params["mlp_norm"], take(params["mlp_item"], item_ids))
+
+    # category hierarchy via full MHA (singleton key)
+    cp = params["category"]
+    dept_e = take(cp["dept"], item_dept[item_ids]).reshape(B * S, 1, D)
+    cat_e = take(cp["cat"], item_cat[item_ids]).reshape(B * S, 1, D)
+    fused = mha(cp["attn"], cat_e, dept_e, dept_e, cfg.num_heads)
+    hier = layer_norm(cp["norm"], fused + cat_e).reshape(B, S, D)
+    item_mlp = item_mlp + hier
+
+    mf_pred = dense(params["mf_out"], user_mf[:, None, :] * item_mf)
+
+    if candidate_attention:
+        q = jnp.broadcast_to(user_mlp[:, None, :], item_mlp.shape)
+        attn = mha(params["attn"], q, item_mlp, item_mlp, cfg.num_heads)
+    else:
+        q = jnp.broadcast_to(user_mlp[:, None, :], item_mlp.shape)
+        attn = mha(params["attn"],
+                   q.reshape(B * S, 1, D),
+                   item_mlp.reshape(B * S, 1, D),
+                   item_mlp.reshape(B * S, 1, D),
+                   cfg.num_heads).reshape(B, S, D)
+
+    t_vec = T.apply(params["temporal"], temporal["hour"], temporal["day"],
+                    temporal["month"], temporal["day_of_year"])
+    t_b = jnp.broadcast_to(t_vec[:, None, :], (B, S, cfg.temporal_dim))
+    combined = jnp.concatenate([attn, t_b], axis=-1)
+    mlp_vec = mlp_tower(params["mlp"], combined)
+    mlp_pred = dense(params["mlp_out"], mlp_vec)
+    both = jnp.concatenate([mf_pred, mlp_pred], axis=-1)
+    return dense(params["final"], both)[..., 0]
+
+
+class TestAttentionEquivalence:
+    """The TPU-optimized apply (single-query attention, closed-form
+    singleton attention, vocab precompute) must be numerically identical
+    to the naive reference-math transcription."""
+
+    @pytest.mark.parametrize("B,S", [(6, 4), (3, 4), (2, 7)])
+    def test_train_mode_matches_naive(self, B, S):
+        cfg = tiny_cfg()
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg)
+        u, i, t, d, c = batch(B=B, S=S, cfg=cfg, seed=B * 10 + S)
+        fast = advanced_ncf.apply(params, cfg, u, i, t, d, c,
+                                  candidate_attention=True)
+        ref = naive_apply(params, cfg, u, i, t, d, c, candidate_attention=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("B,S", [(6, 4), (2, 9)])
+    def test_eval_mode_matches_naive(self, B, S):
+        cfg = tiny_cfg()
+        params = advanced_ncf.init(jax.random.PRNGKey(1), cfg)
+        u, i, t, d, c = batch(B=B, S=S, cfg=cfg, seed=B + S)
+        fast = advanced_ncf.apply(params, cfg, u, i, t, d, c,
+                                  candidate_attention=False)
+        ref = naive_apply(params, cfg, u, i, t, d, c, candidate_attention=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_vocab_and_occurrence_paths_match(self):
+        """B=6 triggers the vocabulary-precompute path, B=3 the
+        per-occurrence path; scoring the same rows must agree."""
+        cfg = tiny_cfg()
+        params = advanced_ncf.init(jax.random.PRNGKey(2), cfg)
+        u, i, t, d, c = batch(B=6, S=4, cfg=cfg, seed=5)
+        full = advanced_ncf.apply(params, cfg, u, i, t, d, c)
+        half = advanced_ncf.apply(
+            params, cfg, u[:3], i[:3],
+            {k: v[:3] for k, v in t.items()}, d, c)
+        np.testing.assert_allclose(np.asarray(full[:3]), np.asarray(half),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestVanillaNCF:
     def test_shapes_and_grads(self):
         cfg = tiny_cfg(name="ncf")

@@ -7,6 +7,7 @@ import numpy as np
 
 from ncf_tpu.data.sampler import (
     _membership,
+    make_sampling_cdf,
     padded_histories,
     sample_eval_negatives,
     sample_negatives,
@@ -34,10 +35,20 @@ class TestDeviceSampler:
         key = jax.random.PRNGKey(2)
         # weight mass concentrated on item 7
         w = np.full(10, 1e-6); w[7] = 1.0
-        logw = jnp.log(jnp.asarray(w / w.sum()))
+        cdf = make_sampling_cdf(w)
         pos = jnp.zeros(512, jnp.int32)
-        negs = np.asarray(sample_negatives(key, pos, 10, 4, log_weights=logw))
+        negs = np.asarray(sample_negatives(key, pos, 10, 4, cdf=cdf))
         assert (negs == 7).mean() > 0.95
+
+    def test_cdf_sampling_matches_distribution(self):
+        key = jax.random.PRNGKey(5)
+        w = np.array([1.0, 2.0, 4.0, 8.0])
+        cdf = make_sampling_cdf(w)
+        pos = jnp.full((4096,), 99, jnp.int32)  # positive outside range: no rejection
+        negs = np.asarray(sample_negatives(key, pos, 4, 2, cdf=cdf,
+                                           num_rounds=1))
+        freq = np.bincount(negs.reshape(-1), minlength=4) / negs.size
+        np.testing.assert_allclose(freq, w / w.sum(), atol=0.03)
 
     def test_history_exclusion(self):
         key = jax.random.PRNGKey(3)
