@@ -1,0 +1,377 @@
+"""Streaming top-k candidate scoring: scores = Q @ T^T (+ bias) -> top-k.
+
+The serving hot path (SURVEY.md §3.4): the reference retrieves candidates
+from Vertex Vector Search and rescores them over HTTP
+(reference: src/api/routes.py:56-67, src/inference/setup_tree_ah_endpoint.py)
+— here retrieval is exact brute-force scoring on-chip, blocked over the
+item table so the [B, num_items] score matrix is never materialized in
+HBM.
+
+Two implementations with identical semantics:
+- ``topk_scores_xla``   — jax.lax.fori_loop over item blocks with a
+  lax.top_k merge carry; robust reference.
+- ``topk_scores_pallas``— fused Pallas kernel: MXU matmul per (user tile,
+  item block) + in-VMEM iterative top-k merge, one HBM write of [B, K] at
+  the end.
+
+Both support a per-item additive bias, which makes them an *exact* full
+AdvancedNCF scorer: in eval mode the model's logit decomposes as
+``dot(u', i') + bias(i, temporal)`` (see ncf_tpu.serving.scorer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -3.0e38  # python float: jnp scalars would be captured tracers in kernels
+
+
+# ------------------------------------------------------------ XLA reference
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_scores_dense(
+    queries: jax.Array,            # [B, D]
+    items: jax.Array,              # [I, D]
+    k: int = 10,
+    bias: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """One-shot exact top-k: materialize [B, I] scores, lax.top_k.  The
+    right tool when B*I*4 bytes comfortably fits HBM (small catalogs)."""
+    scores = jax.lax.dot_general(
+        queries, items, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias[None, :].astype(jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_items"))
+def topk_scores_xla(
+    queries: jax.Array,            # [B, D]
+    items: jax.Array,              # [I, D]
+    k: int = 10,
+    bias: Optional[jax.Array] = None,   # [I]
+    block_items: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blocked exact top-k: returns (values [B, k], indices [B, k])."""
+    B, D = queries.shape
+    I = items.shape[0]
+    nblocks = -(-I // block_items)
+    Ipad = nblocks * block_items
+    items_p = jnp.pad(items, ((0, Ipad - I), (0, 0)))
+    bias_p = jnp.full((Ipad,), NEG_INF, jnp.float32)
+    bias_p = bias_p.at[:I].set(
+        bias.astype(jnp.float32) if bias is not None else 0.0)
+
+    def body(j, carry):
+        vals, idxs = carry                      # [B, k] each
+        blk = jax.lax.dynamic_slice(
+            items_p, (j * block_items, 0), (block_items, D))
+        b = jax.lax.dynamic_slice(bias_p, (j * block_items,), (block_items,))
+        scores = jax.lax.dot_general(
+            queries, blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + b[None, :]
+        bvals, bidx = jax.lax.top_k(scores, k)
+        bidx = bidx + j * block_items
+        cat_v = jnp.concatenate([vals, bvals], axis=1)
+        cat_i = jnp.concatenate([idxs, bidx], axis=1)
+        mvals, sel = jax.lax.top_k(cat_v, k)
+        return mvals, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((B, k), NEG_INF), jnp.zeros((B, k), jnp.int32))
+    vals, idxs = jax.lax.fori_loop(0, nblocks, body, init)
+    return vals, idxs
+
+
+# ------------------------------------------------------------ Pallas kernel
+
+def _extract_topk(scores: jax.Array, idx_of_col: jax.Array, k: int):
+    """Iterative k-round max extraction over the last axis.
+
+    ``idx_of_col [R, C]`` carries the (global) index labelling each
+    column; returns (vals [R, k], idxs [R, k]).  Ties resolve to the
+    lowest column.  Pure max/where/iota VPU ops — the top-k primitive is
+    not available inside Mosaic kernels.
+    """
+    R, C = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    work = scores
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.max(work, axis=1, keepdims=True)              # [R, 1]
+        sel = jnp.min(jnp.where(work == m, col, C), axis=1)   # [R] first max
+        hit = col == sel[:, None]
+        vals.append(m[:, 0])
+        idxs.append(jnp.sum(jnp.where(hit, idx_of_col, 0), axis=1))
+        work = jnp.where(hit, NEG_INF, work)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
+def _topk_kernel(num_items, k, block_items,
+                 q_ref, t_ref, bias_ref, vals_out, idxs_out,
+                 vals_c, idxs_c):
+    """Grid (user_tiles, item_blocks); item axis minor => carry scratch
+    (vals_c/idxs_c) holds the running top-k for the current user tile."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        vals_c[:] = jnp.full_like(vals_c[:], NEG_INF)
+        idxs_c[:] = jnp.zeros_like(idxs_c[:])
+
+    scores = jax.lax.dot_general(
+        q_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [TU, TI]
+    scores = scores + bias_ref[0, :].reshape(1, -1)
+
+    # mask padded items (global col >= num_items)
+    base = j * block_items
+    gcol = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    scores = jnp.where(gcol < num_items, scores, NEG_INF)
+
+    bvals, bidx = _extract_topk(scores, gcol, k)              # [TU, k]
+
+    # merge with carry over [TU, 2k]
+    cat_v = jnp.concatenate([vals_c[:], bvals], axis=1)
+    cat_i = jnp.concatenate([idxs_c[:], bidx], axis=1)
+    mv, mi = _extract_topk(cat_v, cat_i, k)
+    vals_c[:] = mv
+    idxs_c[:] = mi
+
+    @pl.when(j == nj - 1)
+    def _():
+        vals_out[:] = vals_c[:]
+        idxs_out[:] = idxs_c[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_items", "user_tile", "interpret"))
+def topk_scores_pallas(
+    queries: jax.Array,            # [B, D]
+    items: jax.Array,              # [I, D]
+    k: int = 10,
+    bias: Optional[jax.Array] = None,
+    block_items: int = 2048,
+    user_tile: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused MXU matmul + on-chip top-k merge.  Semantics identical to
+    ``topk_scores_xla`` (parity-tested in tests/test_ops_topk.py)."""
+    B, D = queries.shape
+    I = items.shape[0]
+    TU = min(user_tile, max(8, B))
+    Bpad = -(-B // TU) * TU
+    nblocks = -(-I // block_items)
+    Ipad = nblocks * block_items
+
+    q = jnp.pad(queries, ((0, Bpad - B), (0, 0)))
+    t = jnp.pad(items, ((0, Ipad - I), (0, 0)))
+    b2 = jnp.zeros((1, Ipad), jnp.float32)
+    if bias is not None:
+        b2 = b2.at[0, :I].set(bias.astype(jnp.float32))
+
+    kernel = functools.partial(_topk_kernel, I, k, block_items)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(Bpad // TU, nblocks),
+        in_specs=[
+            pl.BlockSpec((TU, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_items), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TU, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TU, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bpad, k), jnp.float32),
+            jax.ShapeDtypeStruct((Bpad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TU, k), jnp.float32),
+            pltpu.VMEM((TU, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bpad * Ipad * D,
+            bytes_accessed=(Bpad * D + Ipad * D) * 2 + Bpad * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, t, b2)
+    return vals[:B], idxs[:B]
+
+
+# --------------------------------------------- segmented-max (huge catalogs)
+
+def _monotone_i32(x: jax.Array) -> jax.Array:
+    """Order-preserving f32 -> SIGNED int32 (IEEE trick: for negative
+    floats flip the magnitude bits).  Signed, because Mosaic has no
+    unsigned reductions."""
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return i ^ ((i >> 31) & jnp.int32(0x7FFFFFFF))
+
+
+def _segmax_kernel(num_items, block_items, seg_width, offset_bits,
+                   q_ref, t_ref, bias_ref, keys_out):
+    """Per (user tile, item block): matmul then segmented max of packed
+    (quantized-score | within-segment-offset) keys — one reduction pass
+    instead of k extraction rounds.  Output [TU, nseg] candidate keys per
+    block; the candidate's global column is reconstructed from its output
+    position (block, segment) plus the packed offset."""
+    j = pl.program_id(1)
+    scores = jax.lax.dot_general(
+        q_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [TU, TI]
+    scores = scores + bias_ref[0, :].reshape(1, -1)
+    base = j * block_items
+    gcol = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    scores = jnp.where(gcol < num_items, scores, NEG_INF)
+
+    TU, TI = scores.shape
+    lcol = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    offset = lcol & jnp.int32(seg_width - 1)
+    keys = (_monotone_i32(scores) & jnp.int32(-seg_width)) | offset
+    nseg = TI // seg_width
+    seg = jnp.max(keys.reshape(TU, nseg, seg_width), axis=2)  # [TU, nseg]
+    keys_out[:] = seg
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "block_items", "user_tile", "seg_width", "interpret"))
+def topk_scores_segmented(
+    queries: jax.Array,            # [B, D]
+    items: jax.Array,              # [I, D]
+    k: int = 10,
+    bias: Optional[jax.Array] = None,
+    block_items: int = 2048,
+    user_tile: int = 256,
+    seg_width: int = 128,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate streaming top-k for huge catalogs (the ScaNN-on-TPU /
+    PartialReduce design): each 128-item segment surfaces only its best
+    candidate (quantized to 21 score bits), candidates are exact-top-k'd
+    in XLA, and winners are re-scored exactly.  Recall loss occurs only
+    when two true top-k items share a segment (probability ~C(k,2) *
+    seg_width / I — e.g. 0.6% for k=10 over 1M shuffled items).  Unlike
+    the one-shot XLA path, the [B, I] score matrix never exists in HBM, so
+    this scales to catalogs where B*I*4 bytes is impossible."""
+    if seg_width & (seg_width - 1):
+        raise ValueError("seg_width must be a power of two")
+    B, D = queries.shape
+    I = items.shape[0]
+    TU = min(user_tile, max(8, B))
+    Bpad = -(-B // TU) * TU
+    n_utiles = Bpad // TU
+    nblocks = -(-I // block_items)
+    Ipad = nblocks * block_items
+    nseg = block_items // seg_width
+    offset_bits = int(seg_width - 1).bit_length()
+
+    q = jnp.pad(queries, ((0, Bpad - B), (0, 0)))
+    t = jnp.pad(items, ((0, Ipad - I), (0, 0)))
+    b2 = jnp.zeros((1, Ipad), jnp.float32)
+    if bias is not None:
+        b2 = b2.at[0, :I].set(bias.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _segmax_kernel, I, block_items, seg_width, offset_bits)
+    # output blocks stacked along rows (grid step (i, j) writes row-block
+    # i*nblocks+j) so the trailing dim equals nseg — satisfies the Mosaic
+    # lane-divisibility rule for any nseg
+    keys = pl.pallas_call(
+        kernel,
+        grid=(n_utiles, nblocks),
+        in_specs=[
+            pl.BlockSpec((TU, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_items), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TU, nseg), lambda i, j: (i * nblocks + j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_utiles * nblocks * TU, nseg), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bpad * Ipad * D,
+            bytes_accessed=(Bpad * D + Ipad * D) * 2
+            + Bpad * nblocks * nseg * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, t, b2)
+
+    # [n_utiles, nblocks, TU, nseg] -> [Bpad, nblocks * nseg]
+    keys = keys.reshape(n_utiles, nblocks, TU, nseg).transpose(0, 2, 1, 3)
+    keys = keys.reshape(Bpad, nblocks * nseg)[:B]
+
+    # top-k over the candidate keys (quantized order).  Wide candidate
+    # sets use the TPU-optimized approx_max_k (full sort over >32k keys
+    # per row is seconds-slow); ranking keys as f32 costs at most one
+    # quantized-score LSB and winners are exact re-scored below anyway.
+    if keys.shape[1] > 32768 and jax.default_backend() == "tpu":
+        _, flat_pos = jax.lax.approx_max_k(
+            keys.astype(jnp.float32), k, recall_target=0.99)
+        top_keys = jnp.take_along_axis(keys, flat_pos, axis=1)
+    else:
+        top_keys, flat_pos = jax.lax.top_k(keys, k)
+    # candidate at flat position p: block = p // nseg, segment = p % nseg,
+    # within-segment offset from the packed low bits
+    offset = top_keys & jnp.int32(seg_width - 1)
+    idxs = ((flat_pos // nseg) * block_items
+            + (flat_pos % nseg) * seg_width + offset)         # [B, k]
+    idxs = jnp.minimum(idxs, I - 1)
+
+    # exact re-score of winners: gather item vectors, per-pair dot
+    win_vecs = jnp.take(items, idxs, axis=0)                  # [B, k, D]
+    vals = jnp.einsum("bd,bkd->bk", queries.astype(jnp.float32),
+                      win_vecs.astype(jnp.float32))
+    if bias is not None:
+        vals = vals + jnp.take(bias, idxs)
+    # re-sort winners by exact score
+    order = jnp.argsort(-vals, axis=1)
+    return (jnp.take_along_axis(vals, order, axis=1),
+            jnp.take_along_axis(idxs, order, axis=1))
+
+
+def topk_scores(
+    queries: jax.Array,
+    items: jax.Array,
+    k: int = 10,
+    bias: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch.  'auto' (measured on TPU v5e, B=1024, I=1M, chained
+    timing): the segmented Pallas kernel (0.42 ms) beats one-shot
+    matmul+approx_max_k (9.4 ms) by ~22x and never materializes [B, I],
+    so it is the default for large catalogs; small catalogs use the exact
+    dense path (cheap and exact)."""
+    if impl == "auto":
+        small = queries.shape[0] * items.shape[0] * 4 <= 64 * 2**20
+        if small:
+            impl = "dense"
+        elif jax.default_backend() == "tpu":
+            impl = "segmented"
+        else:
+            impl = "xla"
+    if impl == "dense":
+        return topk_scores_dense(queries, items, k, bias)
+    if impl == "pallas":
+        return topk_scores_pallas(queries, items, k, bias)
+    if impl == "segmented":
+        return topk_scores_segmented(queries, items, k, bias)
+    return topk_scores_xla(queries, items, k, bias)

@@ -1,0 +1,128 @@
+"""Parity tests for the streaming top-k kernels (SURVEY.md §7 PR3: every
+kernel needs an XLA-reference parity test).  The Pallas kernel runs in
+interpreter mode on the CPU backend; the real-TPU path is exercised by
+bench.py and scripts/bench_kernels.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ncf_tpu.ops.topk import topk_scores_pallas, topk_scores_xla
+
+
+def dense_topk(q, t, k, bias=None):
+    scores = q @ t.T
+    if bias is not None:
+        scores = scores + bias[None, :]
+    vals, idxs = jax.lax.top_k(scores, k)
+    return np.asarray(vals), np.asarray(idxs)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(40, 32)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(500, 32)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(500,)), jnp.float32)
+    return q, t, bias
+
+
+class TestXlaTopk:
+    def test_matches_dense(self, data):
+        q, t, bias = data
+        vals, idxs = topk_scores_xla(q, t, k=10, block_items=128)
+        dv, di = dense_topk(q, t, 10)
+        np.testing.assert_allclose(np.asarray(vals), dv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idxs), di)
+
+    def test_with_bias(self, data):
+        q, t, bias = data
+        vals, idxs = topk_scores_xla(q, t, k=7, bias=bias, block_items=256)
+        dv, di = dense_topk(q, t, 7, bias)
+        np.testing.assert_allclose(np.asarray(vals), dv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idxs), di)
+
+    def test_nondivisible_items(self, data):
+        q, t, bias = data   # 500 items, block 128 -> ragged final block
+        vals, idxs = topk_scores_xla(q, t, k=5, block_items=128)
+        assert (np.asarray(idxs) < 500).all()
+
+
+class TestPallasTopk:
+    def test_matches_dense_interpret(self, data):
+        q, t, bias = data
+        vals, idxs = topk_scores_pallas(
+            q, t, k=10, block_items=128, user_tile=16, interpret=True)
+        dv, di = dense_topk(q, t, 10)
+        np.testing.assert_allclose(np.asarray(vals), dv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idxs), di)
+
+    def test_with_bias_interpret(self, data):
+        q, t, bias = data
+        vals, idxs = topk_scores_pallas(
+            q, t, k=10, bias=bias, block_items=128, user_tile=16,
+            interpret=True)
+        dv, di = dense_topk(q, t, 10, bias)
+        np.testing.assert_allclose(np.asarray(vals), dv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idxs), di)
+
+    def test_user_padding(self, data):
+        """B=40 with user_tile=16 pads to 48 users; padded rows must not
+        leak into real outputs."""
+        q, t, bias = data
+        vals, idxs = topk_scores_pallas(
+            q, t, k=4, block_items=256, user_tile=16, interpret=True)
+        assert vals.shape == (40, 4) and idxs.shape == (40, 4)
+        dv, di = dense_topk(q, t, 4)
+        np.testing.assert_allclose(np.asarray(vals), dv, rtol=1e-5, atol=1e-5)
+
+    def test_ties_prefer_lowest_index(self):
+        q = jnp.ones((4, 8), jnp.float32)
+        t = jnp.ones((32, 8), jnp.float32)  # all scores equal
+        _, idxs = topk_scores_pallas(
+            q, t, k=3, block_items=16, user_tile=4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idxs),
+                                      np.tile([0, 1, 2], (4, 1)))
+
+
+class TestSegmentedTopk:
+    """Approximate streaming kernel: recall follows the segment-collision
+    model (expected misses ~ C(k,2) * seg_width / I), surfaced values are
+    exact re-scores."""
+
+    def _run(self, seg_width, num_items=5000):
+        from ncf_tpu.ops.topk import topk_scores_segmented
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(24, 32)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(num_items, 32)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(num_items,)), jnp.float32)
+        vs, i_seg = topk_scores_segmented(
+            q, t, k=10, bias=bias, block_items=512, user_tile=8,
+            seg_width=seg_width, interpret=True)
+        vx, i_ex = topk_scores_xla(q, t, k=10, bias=bias)
+        return (np.asarray(vs), np.asarray(i_seg),
+                np.asarray(vx), np.asarray(i_ex), q, t, bias)
+
+    def test_recall_matches_collision_model(self):
+        vs, i_seg, vx, i_ex, *_ = self._run(seg_width=128)
+        recall = np.mean([len(set(i_seg[r]) & set(i_ex[r])) / 10
+                          for r in range(len(i_ex))])
+        # expected ~1.15 collisions/row at 128/5000 => recall ~0.88
+        assert recall > 0.8
+
+    def test_high_recall_with_narrow_segments(self):
+        vs, i_seg, vx, i_ex, *_ = self._run(seg_width=8)
+        recall = np.mean([len(set(i_seg[r]) & set(i_ex[r])) / 10
+                          for r in range(len(i_ex))])
+        assert recall > 0.95
+
+    def test_surfaced_values_are_exact(self):
+        vs, i_seg, vx, i_ex, q, t, bias = self._run(seg_width=128)
+        scores = np.asarray(q) @ np.asarray(t).T + np.asarray(bias)[None, :]
+        for r in range(len(i_seg)):
+            np.testing.assert_allclose(
+                vs[r], scores[r, i_seg[r]], rtol=1e-5, atol=1e-5)
+        # and sorted descending
+        assert (np.diff(vs, axis=1) <= 1e-6).all()
