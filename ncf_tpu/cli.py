@@ -1,0 +1,293 @@
+"""Command-line interface: train / evaluate / score / serve / export / datagen.
+
+Replaces the reference's entry scripts with one CLI:
+- ``train``    — src/train.py:152 main() + src/model/task.py:169-201
+  argparse surface (--batch_size, --learning_rate, --num_epochs,
+  --negative_samples, ... as dotted config overrides);
+- ``evaluate`` — leave-one-out ranking eval of a checkpoint;
+- ``score``    — batch scoring CSV like demo/local_inference.py:96-141;
+- ``serve``    — the HTTP API (Cloud Run container CMD analogue);
+- ``export``   — embeddings JSONL (generate_embeddings.py:122);
+- ``datagen``  — synthetic retail interaction log (scripts/1.*/02*).
+
+Usage:  python -m ncf_tpu.cli <command> [--config cfg.yaml]
+        [section.key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from ncf_tpu.utils.config import Config, setup_logging
+
+log = logging.getLogger(__name__)
+
+
+def load_config(args) -> Config:
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    cfg.apply_overrides(args.overrides or [])
+    return cfg
+
+
+def _load_interactions(cfg: Config):
+    from ncf_tpu.data import generate_interactions, movielens
+
+    d = cfg.data
+    if d.dataset == "movielens":
+        if not d.path:
+            raise SystemExit("data.path required for dataset=movielens")
+        return movielens.load(d.path)
+    if d.dataset == "synthetic":
+        return generate_interactions(
+            num_users=d.synthetic_users, num_items=d.synthetic_items,
+            num_days=d.synthetic_days,
+            avg_txns_per_user=d.synthetic_avg_txns_per_user,
+            seed=d.synthetic_seed)
+    if d.dataset == "jsonl":
+        import json
+
+        users, items, ts, amounts = [], [], [], []
+        with open(d.path) as f:
+            for line in f:
+                rec = json.loads(line)
+                users.append(rec["user_id"]); items.append(rec["item_id"])
+                ts.append(rec["timestamp"]); amounts.append(rec.get("amount", 1.0))
+        from ncf_tpu.data import Interactions
+        return Interactions.from_raw(
+            np.asarray(users), np.asarray(items), np.asarray(ts),
+            np.asarray(amounts, np.float32))
+    raise SystemExit(f"unknown dataset {d.dataset!r}")
+
+
+def cmd_train(args) -> int:
+    from ncf_tpu.train import Trainer
+
+    cfg = load_config(args)
+    inter = _load_interactions(cfg)
+    trainer = Trainer(cfg, inter)
+    if args.resume:
+        trainer.resume()
+    best = trainer.train()
+    log.info("best metrics: %s", best)
+    print({k: round(v, 4) for k, v in best.items()
+           if isinstance(v, (int, float))})
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import jax
+
+    from ncf_tpu.evals import EvalSet, evaluate, make_score_fn
+    from ncf_tpu.models import get_model
+    from ncf_tpu.train import checkpoint as ckpt_lib
+
+    cfg = load_config(args)
+    inter = _load_interactions(cfg)
+    cfg.model.num_users = inter.num_users
+    cfg.model.num_items = inter.num_items
+    if inter.item_dept is not None:
+        cfg.model.num_departments = inter.num_departments
+        cfg.model.num_categories = inter.num_categories
+
+    model = get_model(cfg.model.name)
+    params = model.init(jax.random.PRNGKey(0), cfg.model)
+    ckpt = (args.checkpoint
+            or ckpt_lib.find_best(cfg.train.checkpoint_dir)
+            or ckpt_lib.find_latest(cfg.train.checkpoint_dir))
+    if ckpt:
+        state, _ = ckpt_lib.restore(ckpt, {"params": params})
+        params = state["params"]
+        log.info("evaluating %s", ckpt)
+    else:
+        log.warning("no checkpoint found; evaluating random params")
+
+    _, eval_users, eval_items = inter.leave_one_out()
+    eval_set = EvalSet.build(inter, eval_users, eval_items,
+                             cfg.data.num_eval_negatives, cfg.train.seed)
+    score_fn = make_score_fn(
+        model, params, cfg.model,
+        inter.item_dept, inter.item_cat)
+    metrics = evaluate(score_fn, eval_set)
+    print({k: round(v, 4) for k, v in metrics.items()})
+    return 0
+
+
+def cmd_score(args) -> int:
+    """Batch scorer writing predictions CSV
+    (demo/local_inference.py:96-141)."""
+    import jax
+
+    from ncf_tpu.models import get_model
+    from ncf_tpu.serving import ModelServer
+    from ncf_tpu.train import checkpoint as ckpt_lib
+
+    cfg = load_config(args)
+    inter = _load_interactions(cfg)
+    cfg.model.num_users = inter.num_users
+    cfg.model.num_items = inter.num_items
+    if inter.item_dept is not None:
+        cfg.model.num_departments = inter.num_departments
+        cfg.model.num_categories = inter.num_categories
+    try:
+        server = ModelServer.from_checkpoint(
+            cfg, args.checkpoint, item_dept=inter.item_dept,
+            item_cat=inter.item_cat)
+    except FileNotFoundError:
+        log.warning("no checkpoint; scoring with random params")
+        server = ModelServer(cfg, item_dept=inter.item_dept,
+                             item_cat=inter.item_cat)
+
+    rng = np.random.default_rng(0)
+    users = rng.choice(inter.num_users, size=min(args.num_users,
+                                                 inter.num_users),
+                       replace=False)
+    scores, items, ms = server.recommend_batch(users, k=args.top_k)
+    out = args.output or "predictions.csv"
+    with open(out, "w") as f:
+        f.write("customer_id,product_id,rank,score\n")
+        for r, u in enumerate(users):
+            for c in range(args.top_k):
+                f.write(f"{u},{items[r, c]},{c + 1},{scores[r, c]:.6f}\n")
+    log.info("wrote %s (%d users x top-%d in %.1f ms)",
+             out, len(users), args.top_k, ms)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from ncf_tpu.api import RecommendationAPI, serve
+    from ncf_tpu.serving import (
+        FeatureProcessor, FeatureStore, ModelServer)
+
+    cfg = load_config(args)
+    inter = _load_interactions(cfg)
+    cfg.model.num_users = inter.num_users
+    cfg.model.num_items = inter.num_items
+    if inter.item_dept is not None:
+        cfg.model.num_departments = inter.num_departments
+        cfg.model.num_categories = inter.num_categories
+    try:
+        server = ModelServer.from_checkpoint(
+            cfg, args.checkpoint, item_dept=inter.item_dept,
+            item_cat=inter.item_cat)
+    except FileNotFoundError:
+        log.warning("no checkpoint; serving random params")
+        server = ModelServer(cfg, item_dept=inter.item_dept,
+                             item_cat=inter.item_cat)
+    processor = FeatureProcessor(FeatureStore(inter))
+    api = RecommendationAPI(server, processor)
+    serve(api, host=cfg.serving.host, port=args.port or cfg.serving.port)
+    return 0
+
+
+def cmd_export(args) -> int:
+    import jax
+
+    from ncf_tpu.models import get_model
+    from ncf_tpu.serving import export_product_embeddings, export_user_embeddings
+    from ncf_tpu.train import checkpoint as ckpt_lib
+
+    cfg = load_config(args)
+    inter = _load_interactions(cfg)
+    cfg.model.num_users = inter.num_users
+    cfg.model.num_items = inter.num_items
+    if inter.item_dept is not None:
+        cfg.model.num_departments = inter.num_departments
+        cfg.model.num_categories = inter.num_categories
+    model = get_model(cfg.model.name)
+    params = model.init(jax.random.PRNGKey(0), cfg.model)
+    ckpt = (args.checkpoint
+            or ckpt_lib.find_best(cfg.train.checkpoint_dir)
+            or ckpt_lib.find_latest(cfg.train.checkpoint_dir))
+    if ckpt:
+        state, _ = ckpt_lib.restore(ckpt, {"params": params})
+        params = state["params"]
+    path = export_product_embeddings(
+        params, cfg, args.output or "product_embeddings.jsonl",
+        inter.item_dept, inter.item_cat)
+    print(f"wrote {path}")
+    if args.users:
+        upath = export_user_embeddings(
+            params, cfg, args.users_output or "user_embeddings.jsonl")
+        print(f"wrote {upath}")
+    return 0
+
+
+def cmd_datagen(args) -> int:
+    from ncf_tpu.serving.export import export_interactions_jsonl
+
+    cfg = load_config(args)
+    inter = _load_interactions(cfg)
+    out = args.output or "interactions.jsonl"
+    export_interactions_jsonl(inter, out)
+    print(f"wrote {out}: {len(inter)} interactions, "
+          f"{inter.num_users} users x {inter.num_items} items")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ncf_tpu",
+        description="TPU-native neural collaborative filtering framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", help="YAML config path")
+        sp.add_argument("overrides", nargs="*",
+                        help="section.key=value overrides")
+        sp.add_argument("--log-level", default="INFO")
+
+    sp = sub.add_parser("train", help="train a model")
+    common(sp)
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from latest checkpoint")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("evaluate", help="leave-one-out ranking eval")
+    common(sp)
+    sp.add_argument("--checkpoint")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("score", help="batch-score users to CSV")
+    common(sp)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--num-users", type=int, default=100)
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--output")
+    sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser("serve", help="run the HTTP API")
+    common(sp)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--port", type=int)
+    sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("export", help="export embeddings JSONL")
+    common(sp)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--output")
+    sp.add_argument("--users", action="store_true")
+    sp.add_argument("--users-output")
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("datagen", help="generate synthetic interactions")
+    common(sp)
+    sp.add_argument("--output")
+    sp.set_defaults(fn=cmd_datagen)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.log_level)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,7 +48,7 @@ def topk_scores_dense(
         preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias[None, :].astype(jnp.float32)
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(scores, min(k, items.shape[0]))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_items"))
@@ -360,6 +360,7 @@ def topk_scores(
     matmul+approx_max_k (9.4 ms) by ~22x and never materializes [B, I],
     so it is the default for large catalogs; small catalogs use the exact
     dense path (cheap and exact)."""
+    k = min(k, items.shape[0])
     if impl == "auto":
         small = queries.shape[0] * items.shape[0] * 4 <= 64 * 2**20
         if small:

@@ -1,0 +1,242 @@
+"""Top-k scorers: exact AdvancedNCF decomposition + model-agnostic fallback.
+
+Replaces the reference's retrieve-then-rescore serving pipeline (cache ->
+features -> user embedding -> Vertex Vector Search ANN -> full-model
+rescoring, reference: src/api/routes.py:46-73, src/inference/api.py:27-113,
+setup_tree_ah_endpoint.py) with exact on-chip brute-force retrieval
+(SURVEY.md §3.4 "intended online flow").
+
+The TPU-native key idea: in eval mode the AdvancedNCF logit *decomposes
+exactly* into a dot product plus a per-item bias:
+
+    logit(u, i, t) = q_u . v_i + b_i(t)
+
+      q_u    = wf1 * (LN(u_mf) o w_mf)        [user query vector, d_mf]
+      v_i    = LN(i_mf)                        [item vector, d_mf]
+      b_i(t) = wf1*b_mf + wf2*mlp_pred(i,t) + b_final
+
+because the MF path is a weighted dot product (architecture.py:304-308)
+and the eval-mode MLP path (singleton attention, architecture.py:275)
+depends only on the item and the temporal context — never the user.  So
+full-model exact top-k retrieval runs at dot-product speed through the
+streaming top-k kernels (ncf_tpu.ops.topk); no ANN approximation, no
+separate rescoring stage.  Parity with model.score_candidates is locked
+by tests/test_serving.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ncf_tpu.models import advanced_ncf, temporal as temporal_mod
+from ncf_tpu.models.layers import dense, layer_norm, mlp_tower
+from ncf_tpu.ops.topk import topk_scores
+from ncf_tpu.utils.config import ModelConfig
+
+
+def _context_key(temporal: Optional[Dict[str, int]]) -> Tuple:
+    if temporal is None:
+        return ()
+    return tuple(sorted((k, int(v)) for k, v in temporal.items()))
+
+
+class AdvancedNCFScorer:
+    """Exact full-model top-k retrieval for AdvancedNCF via the
+    dot-product + item-bias decomposition."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        item_dept: Optional[jax.Array] = None,
+        item_cat: Optional[jax.Array] = None,
+        impl: str = "auto",
+        bias_cache_size: int = 32,
+    ):
+        self.cfg = cfg
+        self.impl = impl
+        self.item_dept = item_dept
+        self.item_cat = item_cat
+        self._bias_cache: Dict[Tuple, jax.Array] = {}
+        self._bias_cache_size = bias_cache_size
+        self.refresh(params)
+
+    # ------------------------------------------------------------ tables
+
+    def refresh(self, params) -> None:
+        """(Re)build the static item/user tables from model params — the
+        framework's answer to the reference's POST /index/refresh
+        (routes.py:197-212)."""
+        self.params = params
+        cfg = self.cfg
+        wf = params["final"]["w"][:, 0]            # [2]: (mf, mlp) fusion
+        self._wf1 = wf[0]
+        self._wf2 = wf[1]
+        self._bf = params["final"]["b"][0]
+        self._bmf = params["mf_out"]["b"][0]
+
+        # item vectors: LN(mf_item)  [I, dmf]
+        self.item_vecs = layer_norm(params["mf_norm"], params["mf_item"])
+        # user query table: wf1 * (LN(mf_user) o w_mf)  [U, dmf]
+        w_mf = params["mf_out"]["w"][:, 0]         # [dmf]
+        self.user_queries = (
+            layer_norm(params["mf_norm"], params["mf_user"])
+            * w_mf[None, :] * self._wf1)
+        self._bias_cache.clear()
+
+    def _mlp_pred_all_items(self, temporal: Optional[Dict[str, int]]) -> jax.Array:
+        """Eval-mode MLP-path logit for every item, [I] — pure function of
+        (item, temporal context)."""
+        cfg, params = self.cfg, self.params
+        dtype = jnp.dtype(cfg.compute_dtype)
+        I = cfg.num_items
+
+        item_mlp = layer_norm(params["mlp_norm"], params["mlp_item"])
+        if cfg.use_category and self.item_dept is not None and "category" in params:
+            item_mlp = item_mlp + advanced_ncf._hierarchy_table(
+                params["category"], self.item_dept, self.item_cat,
+                0.0, None, True, dtype)
+        attn = advanced_ncf._singleton_attention(
+            params["attn"], item_mlp.astype(dtype), dtype)    # [I, dm]
+
+        if cfg.use_temporal and temporal is not None:
+            t_ids = {k: jnp.full((1,), int(v), jnp.int32)
+                     for k, v in temporal.items()}
+            t_vec = temporal_mod.apply(
+                params["temporal"], t_ids["hour"], t_ids["day"],
+                t_ids["month"], t_ids["day_of_year"])          # [1, dt]
+            t_vec = jnp.broadcast_to(t_vec, (I, self.cfg.temporal_dim))
+        else:
+            t_vec = jnp.zeros((I, cfg.temporal_dim), jnp.float32)
+
+        combined = jnp.concatenate(
+            [attn.astype(dtype), t_vec.astype(dtype)], axis=-1)
+        mlp_vec = mlp_tower(params["mlp"], combined, dtype=dtype)
+        return dense(params["mlp_out"], mlp_vec)[:, 0]         # [I] f32
+
+    def item_bias(self, temporal: Optional[Dict[str, int]] = None) -> jax.Array:
+        """b_i(t) [I], cached per temporal context (a few dozen distinct
+        contexts cover hourly serving)."""
+        key = _context_key(temporal)
+        if key not in self._bias_cache:
+            if len(self._bias_cache) >= self._bias_cache_size:
+                self._bias_cache.pop(next(iter(self._bias_cache)))
+            mlp_pred = self._mlp_pred_all_items(temporal)
+            self._bias_cache[key] = (
+                self._wf1 * self._bmf + self._wf2 * mlp_pred + self._bf)
+        return self._bias_cache[key]
+
+    # ----------------------------------------------------------- queries
+
+    def user_query(self, user_ids: jax.Array) -> jax.Array:
+        """Query vectors [B, dmf] for registered user ids."""
+        return jnp.take(self.user_queries, user_ids, axis=0)
+
+    def topk_for_users(
+        self,
+        user_ids,
+        k: int = 10,
+        temporal: Optional[Dict[str, int]] = None,
+        exclude: Optional[np.ndarray] = None,   # [B, H] item ids or -1
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k items per user: (scores sigmoid [B, k], ids [B, k]).
+
+        ``exclude``: optional per-user already-seen items; retrieval
+        over-fetches and filters so k results survive."""
+        user_ids = jnp.asarray(user_ids, jnp.int32)
+        q = self.user_query(user_ids)
+        bias = self.item_bias(temporal)
+        fetch = k if exclude is None else min(
+            self.cfg.num_items, k + exclude.shape[1])
+        vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
+                                 impl=self.impl)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        if exclude is not None:
+            out_v = np.full((len(vals), k), -np.inf, np.float32)
+            out_i = np.zeros((len(vals), k), np.int32)
+            for r in range(len(vals)):
+                seen = set(int(x) for x in exclude[r] if x >= 0)
+                keep = [c for c in range(fetch) if int(idxs[r, c]) not in seen]
+                keep = keep[:k]
+                out_v[r, :len(keep)] = vals[r, keep]
+                out_i[r, :len(keep)] = idxs[r, keep]
+            vals, idxs = out_v, out_i
+        return _sigmoid(vals), idxs
+
+    def score_pairs(self, user_ids, item_ids,
+                    temporal: Optional[Dict[str, int]] = None) -> np.ndarray:
+        """Probability scores for explicit (user, item) pairs — the
+        reference ModelServer.get_predictions surface (routes.py:67)."""
+        q = self.user_query(jnp.asarray(user_ids, jnp.int32))
+        v = jnp.take(self.item_vecs, jnp.asarray(item_ids, jnp.int32), axis=0)
+        bias = jnp.take(self.item_bias(temporal),
+                        jnp.asarray(item_ids, jnp.int32))
+        logits = jnp.einsum("bd,bd->b", q, v) + bias
+        return np.asarray(jax.nn.sigmoid(logits))
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x, np.float32)
+    np.negative(np.abs(x), out)
+    np.exp(out, out)
+    pos = x >= 0
+    out = np.where(pos, 1.0 / (1.0 + out), out / (1.0 + out))
+    return np.where(np.isfinite(x), out, 0.0).astype(np.float32)
+
+
+class BruteForceScorer:
+    """Model-agnostic top-k: runs ``score_candidates`` over item chunks
+    with a running merge.  Works for any registered model (NCF/NeuMF have
+    no dot-product decomposition); slower than AdvancedNCFScorer but
+    exact for everything."""
+
+    def __init__(self, model, params, cfg: ModelConfig,
+                 item_dept=None, item_cat=None, chunk: int = 4096):
+        self.model, self.params, self.cfg = model, params, cfg
+        self.item_dept, self.item_cat = item_dept, item_cat
+        self.chunk = chunk
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _scan_topk(params, user_ids, temporal, k):
+            I = cfg.num_items
+            C = min(self.chunk, I)
+            nchunks = -(-I // C)
+            B = user_ids.shape[0]
+
+            def body(carry, c):
+                vals, idxs = carry
+                start = c * C
+                cand = start + jnp.arange(C, dtype=jnp.int32)[None, :]
+                cand = jnp.broadcast_to(cand, (B, C))
+                logits = self.model.score_candidates(
+                    params, cfg, user_ids, jnp.minimum(cand, I - 1),
+                    temporal, self.item_dept, self.item_cat)
+                logits = jnp.where(cand < I, logits, -jnp.inf)
+                cat_v = jnp.concatenate([vals, logits], axis=1)
+                cat_i = jnp.concatenate([idxs, cand], axis=1)
+                mv, sel = jax.lax.top_k(cat_v, k)
+                return (mv, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+            init = (jnp.full((B, k), -jnp.inf), jnp.zeros((B, k), jnp.int32))
+            (vals, idxs), _ = jax.lax.scan(
+                body, init, jnp.arange(nchunks))
+            return vals, idxs
+
+        self._scan_topk = _scan_topk
+
+    def topk_for_users(self, user_ids, k: int = 10, temporal=None,
+                       exclude=None) -> Tuple[np.ndarray, np.ndarray]:
+        user_ids = jnp.asarray(user_ids, jnp.int32)
+        t = None
+        if temporal is not None:
+            B = user_ids.shape[0]
+            t = {key: jnp.full((B,), int(v), jnp.int32)
+                 for key, v in temporal.items()}
+        vals, idxs = self._scan_topk(self.params, user_ids, t, k)
+        return _sigmoid(np.asarray(vals)), np.asarray(idxs)

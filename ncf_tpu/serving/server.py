@@ -1,0 +1,170 @@
+"""ModelServer — the reference's phantom serving module, made real.
+
+The reference imports ``ModelServer`` from ``src/inference/serving.py``
+which does not exist in its tree (reference: src/api/routes.py:16,
+src/inference/api.py:12; defect SURVEY.md §2.9.1).  This is the real
+implementation: loads a (consolidated) checkpoint, exposes user/product
+embeddings, pair predictions, and full top-k recommendation retrieval
+backed by the exact decomposition scorer.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ncf_tpu.models import get_model
+from ncf_tpu.serving.scorer import AdvancedNCFScorer, BruteForceScorer
+from ncf_tpu.train import checkpoint as ckpt_lib
+from ncf_tpu.utils.config import Config
+
+log = logging.getLogger(__name__)
+
+
+class ModelServer:
+    """Thread-safe model serving facade.
+
+    Capability surface of the intended reference ModelServer
+    (routes.py:56-71): ``get_user_embedding``, ``get_predictions``, plus
+    ``recommend`` (retrieval) and ``reload`` (checkpoint hot-swap).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        params=None,
+        item_dept: Optional[np.ndarray] = None,
+        item_cat: Optional[np.ndarray] = None,
+        model_version: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.model = get_model(cfg.model.name)
+        self.model_version = model_version or cfg.serving.model_version
+        self._lock = threading.Lock()
+        self.item_dept = (jnp.asarray(item_dept)
+                          if item_dept is not None else None)
+        self.item_cat = (jnp.asarray(item_cat)
+                         if item_cat is not None else None)
+        if params is None:
+            key = jax.random.PRNGKey(0)
+            params = self.model.init(key, cfg.model)
+            log.warning("ModelServer started with RANDOM params "
+                        "(no checkpoint given)")
+        self._set_params(params)
+
+    # ------------------------------------------------------------ loading
+
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, ckpt_dir: Optional[str] = None,
+                        **kw) -> "ModelServer":
+        """Load the best (or latest, or given) checkpoint under the
+        configured directory — repaired reference resume/serve flow."""
+        directory = cfg.train.checkpoint_dir
+        ckpt = (ckpt_dir
+                or ckpt_lib.find_best(directory)
+                or ckpt_lib.find_latest(directory))
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+        model = get_model(cfg.model.name)
+        template = model.init(jax.random.PRNGKey(0), cfg.model)
+        state, manifest = ckpt_lib.restore(
+            ckpt, {"params": template}
+            if _has_params_prefix(ckpt) else template)
+        params = state["params"] if isinstance(state, dict) and "params" in state else state
+        version = f"ckpt-{manifest.get('step', 0)}"
+        return cls(cfg, params=params, model_version=version, **kw)
+
+    def _set_params(self, params) -> None:
+        with self._lock:
+            self.params = params
+            if self.cfg.model.name == "advanced_ncf":
+                self.scorer = AdvancedNCFScorer(
+                    params, self.cfg.model, self.item_dept, self.item_cat)
+            else:
+                self.scorer = BruteForceScorer(
+                    self.model, params, self.cfg.model,
+                    self.item_dept, self.item_cat)
+
+    def reload(self, ckpt_dir: str) -> None:
+        """Hot-swap params from a checkpoint directory
+        (the reference's POST /index/refresh intent, routes.py:197-212)."""
+        template = self.model.init(jax.random.PRNGKey(0), self.cfg.model)
+        state, manifest = ckpt_lib.restore(
+            ckpt_dir, {"params": template}
+            if _has_params_prefix(ckpt_dir) else template)
+        params = state["params"] if isinstance(state, dict) and "params" in state else state
+        self._set_params(params)
+        self.model_version = f"ckpt-{manifest.get('step', 0)}"
+        log.info("model reloaded: %s", self.model_version)
+
+    # ----------------------------------------------------------- serving
+
+    def get_user_embedding(self, user_ids) -> Dict[str, np.ndarray]:
+        """Normalized user embeddings (architecture.py:383-391 surface)."""
+        ids = jnp.asarray(np.atleast_1d(user_ids), jnp.int32)
+        out = self.model.get_user_embeddings(self.params, ids)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def get_product_embedding(self, item_ids) -> Dict[str, np.ndarray]:
+        ids = jnp.asarray(np.atleast_1d(item_ids), jnp.int32)
+        out = self.model.get_product_embeddings(
+            self.params, self.cfg.model, ids, self.item_dept, self.item_cat)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def get_predictions(self, user_id: int, item_ids,
+                        temporal: Optional[Dict[str, int]] = None) -> np.ndarray:
+        """Probability scores for one user against explicit candidates
+        (routes.py:67 rescoring surface)."""
+        item_ids = np.atleast_1d(item_ids)
+        users = np.full(len(item_ids), user_id, np.int32)
+        if hasattr(self.scorer, "score_pairs"):
+            return self.scorer.score_pairs(users, item_ids, temporal)
+        scores, _ = self.scorer.topk_for_users(
+            np.asarray([user_id]), k=self.cfg.model.num_items,
+            temporal=temporal)
+        return scores[0][item_ids]
+
+    def recommend(
+        self,
+        user_id: int,
+        k: int = 10,
+        temporal: Optional[Dict[str, int]] = None,
+        exclude_items: Optional[List[int]] = None,
+    ):
+        """Full retrieval: top-k (scores, item_ids) for one user."""
+        t0 = time.perf_counter()
+        exclude = None
+        if exclude_items:
+            exclude = np.full((1, len(exclude_items)), -1, np.int32)
+            exclude[0, :] = exclude_items
+        scores, idxs = self.scorer.topk_for_users(
+            np.asarray([user_id], np.int32), k=k,
+            temporal=temporal, exclude=exclude)
+        ms = (time.perf_counter() - t0) * 1000
+        return scores[0], idxs[0], ms
+
+    def recommend_batch(self, user_ids, k: int = 10,
+                        temporal: Optional[Dict[str, int]] = None):
+        t0 = time.perf_counter()
+        scores, idxs = self.scorer.topk_for_users(
+            np.asarray(user_ids, np.int32), k=k, temporal=temporal)
+        ms = (time.perf_counter() - t0) * 1000
+        return scores, idxs, ms
+
+
+def _has_params_prefix(ckpt_dir: str) -> bool:
+    manifest = os.path.join(ckpt_dir, ckpt_lib.MANIFEST)
+    try:
+        import json
+        with open(manifest) as f:
+            leaves = json.load(f)["leaves"]
+        return any(k.startswith("params.") for k in leaves)
+    except Exception:
+        return False

@@ -1,0 +1,269 @@
+"""Serving-layer tests: scorer decomposition parity, ModelServer,
+ProductSearch, FeatureStore/Processor, cache, export."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ncf_tpu.data.synthetic import generate_interactions
+from ncf_tpu.models import advanced_ncf, get_model
+from ncf_tpu.serving import (
+    AdvancedNCFScorer,
+    BruteForceScorer,
+    FeatureCache,
+    FeatureProcessor,
+    FeatureStore,
+    ModelServer,
+    ProductSearch,
+    export_product_embeddings,
+    load_embeddings_jsonl,
+)
+from ncf_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    inter = generate_interactions(num_users=120, num_items=60, num_days=30,
+                                  avg_txns_per_user=12, seed=3)
+    cfg = Config()
+    cfg.model.num_users = inter.num_users
+    cfg.model.num_items = inter.num_items
+    cfg.model.num_departments = inter.num_departments
+    cfg.model.num_categories = inter.num_categories
+    cfg.model.mf_dim = 16
+    cfg.model.mlp_dim = 16
+    cfg.model.temporal_dim = 8
+    cfg.model.mlp_hidden_dims = [32, 16]
+    cfg.model.compute_dtype = "float32"
+    params = advanced_ncf.init(jax.random.PRNGKey(0), cfg.model)
+    return inter, cfg, params
+
+
+class TestScorerDecomposition:
+    """The dot-product + item-bias decomposition must equal the full
+    model's score_candidates logits EXACTLY (eval mode)."""
+
+    def test_scores_match_model(self, setup):
+        inter, cfg, params = setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        scorer = AdvancedNCFScorer(params, cfg.model, dept, cat)
+
+        users = jnp.asarray([3, 7, 11], jnp.int32)
+        temporal_scalar = {"hour": 9, "day": 2, "month": 5, "day_of_year": 140}
+        B = 3
+        t_arr = {k: jnp.full((B,), v, jnp.int32)
+                 for k, v in temporal_scalar.items()}
+        all_items = jnp.tile(jnp.arange(cfg.model.num_items)[None, :], (B, 1))
+        want = advanced_ncf.score_candidates(
+            params, cfg.model, users, all_items, t_arr, dept, cat)
+
+        q = scorer.user_query(users)
+        bias = scorer.item_bias(temporal_scalar)
+        got = np.asarray(q) @ np.asarray(scorer.item_vecs).T + np.asarray(bias)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    def test_topk_matches_dense_model_ranking(self, setup):
+        inter, cfg, params = setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        scorer = AdvancedNCFScorer(params, cfg.model, dept, cat)
+        users = np.asarray([0, 5])
+        scores, idxs = scorer.topk_for_users(users, k=5)
+
+        t0 = None
+        all_items = jnp.tile(jnp.arange(cfg.model.num_items)[None, :], (2, 1))
+        logits = advanced_ncf.score_candidates(
+            params, cfg.model, jnp.asarray(users), all_items, t0, dept, cat)
+        want_idx = np.asarray(jax.lax.top_k(logits, 5)[1])
+        np.testing.assert_array_equal(idxs, want_idx)
+        assert (scores <= 1).all() and (scores >= 0).all()
+
+    def test_exclusion(self, setup):
+        inter, cfg, params = setup
+        scorer = AdvancedNCFScorer(
+            params, cfg.model,
+            jnp.asarray(inter.item_dept), jnp.asarray(inter.item_cat))
+        _, base = scorer.topk_for_users(np.asarray([4]), k=5)
+        exclude = np.asarray([[int(base[0, 0]), int(base[0, 1]), -1]])
+        _, filt = scorer.topk_for_users(np.asarray([4]), k=5, exclude=exclude)
+        assert int(base[0, 0]) not in filt[0]
+        assert int(base[0, 1]) not in filt[0]
+
+    def test_score_pairs_matches_model(self, setup):
+        inter, cfg, params = setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        scorer = AdvancedNCFScorer(params, cfg.model, dept, cat)
+        users = np.asarray([1, 2, 3])
+        items = np.asarray([10, 20, 30])
+        got = scorer.score_pairs(users, items)
+        logits = advanced_ncf.score_candidates(
+            params, cfg.model, jnp.asarray(users),
+            jnp.asarray(items)[:, None], None, dept, cat)[:, 0]
+        want = np.asarray(jax.nn.sigmoid(logits))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_bias_cache(self, setup):
+        inter, cfg, params = setup
+        scorer = AdvancedNCFScorer(
+            params, cfg.model,
+            jnp.asarray(inter.item_dept), jnp.asarray(inter.item_cat))
+        b1 = scorer.item_bias({"hour": 8, "day": 1, "month": 2,
+                               "day_of_year": 33})
+        b2 = scorer.item_bias({"hour": 8, "day": 1, "month": 2,
+                               "day_of_year": 33})
+        assert b1 is b2  # cached
+        b3 = scorer.item_bias({"hour": 20, "day": 1, "month": 2,
+                               "day_of_year": 33})
+        assert not np.allclose(np.asarray(b1), np.asarray(b3))
+
+
+class TestBruteForceScorer:
+    def test_matches_advanced_scorer(self, setup):
+        inter, cfg, params = setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        fast = AdvancedNCFScorer(params, cfg.model, dept, cat)
+        brute = BruteForceScorer(get_model("advanced_ncf"), params,
+                                 cfg.model, dept, cat, chunk=17)
+        users = np.asarray([2, 9])
+        s1, i1 = fast.topk_for_users(users, k=4)
+        s2, i2 = brute.topk_for_users(users, k=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
+
+
+class TestModelServer:
+    def test_recommend_and_predictions(self, setup):
+        inter, cfg, params = setup
+        server = ModelServer(cfg, params, inter.item_dept, inter.item_cat)
+        scores, items, ms = server.recommend(user_id=5, k=7)
+        assert len(scores) == 7 and len(items) == 7
+        assert ms >= 0
+        preds = server.get_predictions(5, items[:3])
+        np.testing.assert_allclose(preds, scores[:3], rtol=1e-4, atol=1e-4)
+
+    def test_embeddings(self, setup):
+        inter, cfg, params = setup
+        server = ModelServer(cfg, params, inter.item_dept, inter.item_cat)
+        ue = server.get_user_embedding([1, 2])
+        assert ue["mf"].shape == (2, cfg.model.mf_dim)
+        pe = server.get_product_embedding([3])
+        assert pe["mlp"].shape == (1, cfg.model.mlp_dim)
+
+    def test_checkpoint_roundtrip(self, setup, tmp_path):
+        inter, cfg, params = setup
+        import dataclasses
+        cfg2 = Config.from_dict(cfg.to_dict())
+        cfg2.train.checkpoint_dir = str(tmp_path)
+        from ncf_tpu.train import checkpoint as C
+        ckpt = C.save(str(tmp_path), {"params": params}, step=42)
+        C.mark_best(str(tmp_path), ckpt)
+        server = ModelServer.from_checkpoint(
+            cfg2, item_dept=inter.item_dept, item_cat=inter.item_cat)
+        assert server.model_version == "ckpt-42"
+        scores, items, _ = server.recommend(user_id=1, k=3)
+        assert len(items) == 3
+
+
+class TestProductSearch:
+    def test_cosine_neighbors(self):
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(200, 16)).astype(np.float32)
+        search = ProductSearch(emb, metric="cosine")
+        res = search.find_neighbors(emb[17], num_neighbors=3)
+        assert res[0][0][0] == 17  # self is nearest under cosine
+        assert res[0][0][1] == pytest.approx(1.0, abs=1e-5)
+
+    def test_refresh_and_stats(self):
+        emb = np.eye(8, dtype=np.float32)
+        search = ProductSearch(emb, ids=[f"p{i}" for i in range(8)])
+        search.find_neighbors(emb[0])
+        stats = search.get_index_stats()
+        assert stats["num_items"] == 8 and stats["queries_served"] == 1
+        search.refresh(np.eye(4, dtype=np.float32))
+        assert search.get_index_stats()["num_items"] == 4
+
+
+class TestFeatures:
+    def test_store_aggregates(self, setup):
+        inter, cfg, params = setup
+        store = FeatureStore(inter)
+        assert store.user_count.sum() == len(inter)
+        assert store.item_purchases.sum() == len(inter)
+        assert (store.user_hourly.sum(1) == store.user_count).all()
+        u = int(np.argmax(store.user_count))
+        assert len(store.user_history(u)) <= store.history_len
+
+    def test_processor_features_and_enrichment(self, setup):
+        inter, cfg, params = setup
+        proc = FeatureProcessor(FeatureStore(inter))
+        f = proc.get_features(0)
+        assert set(f) == {"user_id", "basic", "temporal", "sequence",
+                          "category_preferences"}
+        assert abs(sum(f["temporal"]["hourly_pattern"]) - 1.0) < 1e-5
+        enriched = proc.enrich_products([1, 2], scores=[0.9, 0.8])
+        assert enriched[0]["score"] == pytest.approx(0.9)
+        assert "explanation" in enriched[0]
+        assert enriched[0]["department"] is not None
+
+    def test_preprocess_for_model(self, setup):
+        inter, cfg, params = setup
+        proc = FeatureProcessor(FeatureStore(inter))
+        packed = proc.preprocess_for_model(3)
+        assert packed["user_ids"][0] == 3
+        assert 0 <= packed["hour"][0] < 24
+
+
+class TestCache:
+    def test_ttl_expiry(self, monkeypatch):
+        from ncf_tpu.serving import cache as cache_mod
+        c = cache_mod.TTLCache()
+        now = [1000.0]
+        monkeypatch.setattr(cache_mod.time, "time", lambda: now[0])
+        c.set("k", "v", ttl_s=10)
+        assert c.get("k") == "v"
+        now[0] += 11
+        assert c.get("k") is None
+
+    def test_feature_cache_hit_rate(self):
+        fc = FeatureCache()
+        assert fc.get_features("c1") is None
+        fc.set_features("c1", {"a": 1})
+        assert fc.get_features("c1") == {"a": 1}
+        assert fc.hit_rate() == pytest.approx(0.5)
+        fc.invalidate("c1")
+        assert fc.get_features("c1") is None
+
+    def test_embedding_roundtrip_without_redis(self):
+        # fixes §2.9.7: embedding methods must work without redis
+        fc = FeatureCache()
+        fc.set_embedding("u1", [1.0, 2.0])
+        assert fc.get_embedding("u1") == [1.0, 2.0]
+
+
+class TestExport:
+    def test_product_embedding_jsonl(self, setup, tmp_path):
+        inter, cfg, params = setup
+        path = str(tmp_path / "emb.jsonl")
+        export_product_embeddings(params, cfg, path,
+                                  inter.item_dept, inter.item_cat)
+        ids, mat = load_embeddings_jsonl(path)
+        assert len(ids) == cfg.model.num_items
+        assert mat.shape == (cfg.model.num_items, cfg.model.mlp_dim)
+        norms = np.linalg.norm(mat, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)  # L2-normalized
+
+    def test_search_over_export(self, setup, tmp_path):
+        inter, cfg, params = setup
+        path = str(tmp_path / "emb.jsonl")
+        export_product_embeddings(params, cfg, path,
+                                  inter.item_dept, inter.item_cat)
+        ids, mat = load_embeddings_jsonl(path)
+        search = ProductSearch(mat, ids=ids, metric="cosine")
+        res = search.find_neighbors(mat[5], num_neighbors=2)
+        assert res[0][0][0] == "5"
