@@ -84,17 +84,24 @@ class BatchIterator:
             yield {k: v[sl] for k, v in self._cols.items()}
 
 
-def prefetch_to_device(iterator: Iterator[Batch], size: int = 2) -> Iterator:
+def prefetch_to_device(iterator: Iterator[Batch], size: int = 2,
+                       sharding=None) -> Iterator:
     """Overlap host->device transfer with compute: keep ``size`` batches
     in flight via ``jax.device_put`` (the host->device boundary the
-    reference pays per batch at trainer.py:253 ``features.to(device)``)."""
+    reference pays per batch at trainer.py:253 ``features.to(device)``).
+    ``sharding``: optional NamedSharding applied to every batch column
+    (data-parallel placement over a mesh)."""
     import collections
 
     import jax
 
     queue = collections.deque()
     for batch in iterator:
-        queue.append(jax.device_put(batch))
+        if sharding is not None:
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        else:
+            batch = jax.device_put(batch)
+        queue.append(batch)
         if len(queue) >= size:
             yield queue.popleft()
     while queue:

@@ -1,3 +1,11 @@
+from ncf_tpu.parallel.embedding_sharding import ShardedEmbedding
+from ncf_tpu.parallel.multihost import (
+    initialize_distributed,
+    is_primary,
+    local_batch_slice,
+    mesh_shape_for_hosts,
+    sync_hosts,
+)
 from ncf_tpu.parallel.mesh import (
     DCN_AXIS,
     ICI_AXIS,
@@ -11,6 +19,12 @@ from ncf_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "ShardedEmbedding",
+    "initialize_distributed",
+    "is_primary",
+    "local_batch_slice",
+    "mesh_shape_for_hosts",
+    "sync_hosts",
     "DCN_AXIS",
     "ICI_AXIS",
     "make_mesh",

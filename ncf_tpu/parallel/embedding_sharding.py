@@ -1,0 +1,193 @@
+"""Row-sharded embedding tables with explicit all-to-all ID exchange.
+
+The TPU-native equivalent of torchrec DistributedModelParallel's sharded
+EmbeddingBagCollection path (reference: src/model/trainer.py:85-88; the
+library-internal NCCL flow is: all-to-all KJT id redistribution ->
+per-shard lookup -> all-to-all pooled-embedding return -> reverse path
+for gradients; SURVEY.md §2.8/§5.8).  Here the same dance is written
+explicitly in ``jax.shard_map`` over the mesh's ``'ici'`` axis with XLA
+collectives, so it rides ICI links and composes with jit/grad:
+
+  1. each device buckets its local ids by owner shard
+     (capacity-bucketed: fixed [E, C] send buffer, SURVEY.md §7 hard
+     part 1 — static shapes, padded with a sentinel);
+  2. ``all_to_all`` exchanges id buckets;
+  3. each shard gathers its owned rows;
+  4. ``all_to_all`` returns the vectors;
+  5. un-permutation scatters vectors back to request order.
+
+The backward pass is the exact reverse: bucket gradient rows, exchange,
+segment-sum into the local table shard (duplicate ids within a shard are
+accumulated by ``segment_sum`` before the scatter — no atomics needed).
+Implemented as a custom VJP so ``jax.grad`` of a sharded model just
+works.
+
+The simpler ``pjit`` path (NamedSharding on the table + jnp.take, XLA
+chooses collectives) remains the default in ncf_tpu.parallel.mesh; this
+module is the explicit-schedule alternative for when XLA's choice is not
+the fast one (e.g. cross-DCN lookups).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ncf_tpu.parallel.mesh import ICI_AXIS
+
+SENTINEL = jnp.int32(2**30)
+
+
+def _bucket_by_owner(ids: jax.Array, num_shards: int, rows_per_shard: int,
+                     capacity: int):
+    """Pack local ids into a fixed [E, C] send buffer by owner shard.
+
+    Returns (send_ids [E, C] global ids padded with SENTINEL,
+    slot_of_id [n] flat position of each id in the send buffer).
+    Static shapes throughout; ids beyond capacity would be dropped, so
+    choose C >= ceil(n / E) * slack (checked by callers/tests).
+    """
+    n = ids.shape[0]
+    owner = ids // rows_per_shard                              # [n]
+    # rank of each element within its owner group, via stable sort
+    order = jnp.argsort(owner, stable=True)                    # [n]
+    sorted_owner = owner[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # start index of each owner's run
+    first_of_owner = jnp.searchsorted(sorted_owner, jnp.arange(
+        num_shards, dtype=sorted_owner.dtype), side="left")
+    rank_sorted = pos - first_of_owner[sorted_owner]           # [n]
+    rank = jnp.zeros(n, jnp.int32).at[order].set(rank_sorted)
+
+    slot = owner * capacity + jnp.minimum(rank, capacity - 1)  # [n]
+    send = jnp.full((num_shards * capacity,), SENTINEL, jnp.int32)
+    send = send.at[slot].set(ids.astype(jnp.int32))
+    return send.reshape(num_shards, capacity), slot
+
+
+def _exchange_lookup(table_shard: jax.Array, ids: jax.Array,
+                     num_shards: int, capacity: int,
+                     axis: str) -> jax.Array:
+    """Inside shard_map: the 5-step lookup dance.  table_shard [R, D],
+    ids [n] global -> [n, D]."""
+    R, D = table_shard.shape
+    my = jax.lax.axis_index(axis)
+
+    send_ids, slot = _bucket_by_owner(ids, num_shards, R, capacity)
+    recv_ids = jax.lax.all_to_all(
+        send_ids, axis, split_axis=0, concat_axis=0, tiled=False)
+    # recv_ids [E, C]: bucket e = ids requested by source device e
+    local_rows = recv_ids.reshape(-1) - my * R
+    valid = (recv_ids.reshape(-1) != SENTINEL) & (local_rows >= 0) & (
+        local_rows < R)
+    safe = jnp.where(valid, local_rows, 0)
+    vecs = jnp.take(table_shard, safe, axis=0)
+    vecs = jnp.where(valid[:, None], vecs, 0.0)
+    vecs = vecs.reshape(num_shards, capacity, D)
+
+    back = jax.lax.all_to_all(
+        vecs, axis, split_axis=0, concat_axis=0, tiled=False)
+    # back [E, C, D]: bucket e = vectors for the ids we sent to shard e
+    return back.reshape(num_shards * capacity, D)[slot]
+
+
+def _exchange_grad(g: jax.Array, ids: jax.Array, num_shards: int,
+                   rows_per_shard: int, capacity: int,
+                   axis: str) -> jax.Array:
+    """Reverse path: route grad rows to owner shards and segment-sum into
+    the local shard's gradient. g [n, D] -> table_shard_grad [R, D]."""
+    D = g.shape[1]
+    my = jax.lax.axis_index(axis)
+    send_ids, slot = _bucket_by_owner(ids, num_shards, rows_per_shard,
+                                      capacity)
+    # place grad rows at their send slots (duplicate ids occupy distinct
+    # slots; summation happens at the owner)
+    send_g = jnp.zeros((num_shards * capacity, D), g.dtype).at[slot].add(g)
+    send_g = send_g.reshape(num_shards, capacity, D)
+
+    recv_ids = jax.lax.all_to_all(
+        send_ids, axis, split_axis=0, concat_axis=0, tiled=False)
+    recv_g = jax.lax.all_to_all(
+        send_g, axis, split_axis=0, concat_axis=0, tiled=False)
+
+    rows = recv_ids.reshape(-1) - my * rows_per_shard
+    valid = (recv_ids.reshape(-1) != SENTINEL) & (rows >= 0) & (
+        rows < rows_per_shard)
+    rows = jnp.where(valid, rows, rows_per_shard)  # park invalid in pad row
+    flat_g = jnp.where(valid[:, None], recv_g.reshape(-1, D), 0.0)
+    summed = jax.ops.segment_sum(flat_g, rows,
+                                 num_segments=rows_per_shard + 1)
+    return summed[:rows_per_shard]
+
+
+class ShardedEmbedding:
+    """A row-sharded embedding table with explicit all-to-all lookup.
+
+    Use: construct with the mesh; ``shard(table)`` places the [N, D]
+    array; ``lookup(table, ids)`` is differentiable and jit-able.
+    """
+
+    def __init__(self, mesh: Mesh, num_rows: int, dim: int,
+                 capacity_factor: float = 2.0, axis: str = ICI_AXIS):
+        self.mesh = mesh
+        self.axis = axis
+        self.num_shards = int(mesh.shape[axis])
+        if num_rows % self.num_shards != 0:
+            raise ValueError(
+                f"num_rows {num_rows} must divide the {axis}={self.num_shards}"
+                f" axis (pad with parallel.pad_rows)")
+        self.num_rows = num_rows
+        self.dim = dim
+        self.rows_per_shard = num_rows // self.num_shards
+        self.capacity_factor = capacity_factor
+
+        self.table_sharding = NamedSharding(mesh, P(axis, None))
+        self.batch_sharding = NamedSharding(mesh, P(axis))
+
+    def shard(self, table: jax.Array) -> jax.Array:
+        return jax.device_put(table, self.table_sharding)
+
+    def _capacity(self, ids_len_per_shard: int) -> int:
+        c = int(np.ceil(ids_len_per_shard / self.num_shards
+                        * self.capacity_factor))
+        return max(8, c)
+
+    def lookup(self, table: jax.Array, ids: jax.Array) -> jax.Array:
+        """Differentiable sharded lookup: ids [n] (sharded over the axis)
+        -> vectors [n, D] (sharded over the axis)."""
+        n = ids.shape[0]
+        per_shard = n // self.num_shards
+        capacity = self._capacity(per_shard)
+        E, axis = self.num_shards, self.axis
+        R = self.rows_per_shard
+
+        @jax.custom_vjp
+        def _lookup(table, ids):
+            fn = jax.shard_map(
+                functools.partial(_exchange_lookup, num_shards=E,
+                                  capacity=capacity, axis=axis),
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis)),
+                out_specs=P(axis, None))
+            return fn(table, ids)
+
+        def fwd(table, ids):
+            return _lookup(table, ids), ids
+
+        def bwd(ids, g):
+            fn = jax.shard_map(
+                functools.partial(_exchange_grad, num_shards=E,
+                                  rows_per_shard=R, capacity=capacity,
+                                  axis=axis),
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis)),
+                out_specs=P(axis, None))
+            return fn(g, ids), None
+
+        _lookup.defvjp(fwd, bwd)
+        return _lookup(table, ids)

@@ -91,9 +91,29 @@ class Trainer:
         # ---- params / optimizer / steps
         key = jax.random.PRNGKey(cfg.train.seed)
         self.params = self.model.init(key, cfg.model)
+        self.batch_shard = None
+        if mesh is not None:
+            # embedding tables row-sharded over 'ici', dense replicated,
+            # batch data-parallel over (dcn, ici) — SURVEY.md §2.8 layout.
+            from ncf_tpu.parallel import (
+                batch_sharding, param_shardings, replicated, shard_pytree)
+
+            p_sh = param_shardings(self.params, mesh,
+                                   cfg.mesh.shard_embeddings)
+            self.params = shard_pytree(self.params, p_sh)
+            self.batch_shard = batch_sharding(mesh)
+            rep = replicated(mesh)
+            self.neg_cdf = jax.device_put(self.neg_cdf, rep)
+            if self.item_dept is not None:
+                self.item_dept = jax.device_put(self.item_dept, rep)
+                self.item_cat = jax.device_put(self.item_cat, rep)
         self.optimizer = make_optimizer(cfg.train, len(self.train_iter))
+        # init AFTER sharding: optax states are zeros_like(params) and
+        # inherit each param's NamedSharding
         self.opt_state = self.optimizer.init(self.params)
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        if mesh is not None:
+            self.rng = jax.device_put(self.rng, replicated(mesh))
 
         self.train_step = make_train_step(
             self.model, cfg, self.optimizer, self.neg_cdf,
@@ -116,7 +136,8 @@ class Trainer:
         n_batches = 0
         t_epoch = time.perf_counter()
         t_window = t_epoch
-        for batch in prefetch_to_device(self.train_iter.epoch(epoch)):
+        for batch in prefetch_to_device(self.train_iter.epoch(epoch),
+                                        sharding=self.batch_shard):
             self.params, self.opt_state, self.rng, metrics = self.train_step(
                 self.params, self.opt_state, self.rng, batch)
             n_batches += 1
@@ -152,7 +173,8 @@ class Trainer:
         totals: Dict[str, float] = {}
         n = 0
         rng = jax.random.PRNGKey(self.cfg.train.seed + 12345)  # fixed negs per run
-        for batch in prefetch_to_device(self.val_iter.epoch(0)):
+        for batch in prefetch_to_device(self.val_iter.epoch(0),
+                                        sharding=self.batch_shard):
             rng, metrics = self.eval_step(self.params, rng, batch)
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
