@@ -116,9 +116,20 @@ def sample_eval_negatives(
 
     For each eval user, uniformly sample ``num_negatives`` items not in the
     user's full history (the protocol the reference intended, fixing
-    SURVEY.md §2.9.9).  Vectorized rejection: draw, test membership via
-    sorted-history binary search, re-draw only the colliding entries.
+    SURVEY.md §2.9.9).  Uses the native C++ sampler when built (exact,
+    deterministic per seed); otherwise vectorized NumPy rejection: draw,
+    test membership via sorted-history binary search, re-draw only the
+    colliding entries.
     """
+    from ncf_tpu import native
+
+    if native.available():
+        seed = int(rng.integers(0, 2**62))
+        return native.sample_negatives_exact(
+            eval_users, eval_users * 0 - 1,  # no extra positive exclusion
+            np.ones(num_items, np.float64),
+            history_offsets, history_items, num_negatives, seed=seed)
+
     U = len(eval_users)
     out = np.empty((U, num_negatives), np.int32)
     rows = np.repeat(np.arange(U), num_negatives)
