@@ -218,6 +218,68 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_demo(args) -> int:
+    """Interactive-style terminal demo (the Streamlit app analogue,
+    reference demo/app.py:250-553): top-k for a customer, optional
+    hour-of-day modulation via score_items_with_hour, plus the model
+    intelligence dashboard."""
+    import jax.numpy as jnp
+
+    from ncf_tpu.models import get_model
+    from ncf_tpu.serving import FeatureProcessor, FeatureStore, ModelServer
+    from ncf_tpu.serving.intelligence import intelligence_report
+
+    cfg = load_config(args)
+    inter = _load_interactions(cfg)
+    cfg.model.num_users = inter.num_users
+    cfg.model.num_items = inter.num_items
+    if inter.item_dept is not None:
+        cfg.model.num_departments = inter.num_departments
+        cfg.model.num_categories = inter.num_categories
+    try:
+        server = ModelServer.from_checkpoint(
+            cfg, args.checkpoint, item_dept=inter.item_dept,
+            item_cat=inter.item_cat)
+    except FileNotFoundError:
+        log.warning("no checkpoint; demo with random params")
+        server = ModelServer(cfg, item_dept=inter.item_dept,
+                             item_cat=inter.item_cat)
+    proc = FeatureProcessor(FeatureStore(inter))
+    uid = args.customer
+
+    scores, items, ms = server.recommend(uid, k=args.top_k)
+    print(f"\nTop-{args.top_k} for customer {uid} "
+          f"({ms:.1f} ms inference):")
+    for rank, rec in enumerate(proc.enrich_products(items, scores)):
+        print(f"  #{rank + 1:>2} {rec['name']:<28} "
+              f"{rec['category'] or '?':<4} "
+              f"score={rec['score']:.4f}  ({rec['explanation']})")
+
+    if args.hour is not None and cfg.model.name == "advanced_ncf":
+        model = get_model(cfg.model.name)
+        all_items = jnp.arange(cfg.model.num_items, dtype=jnp.int32)
+        users = jnp.full((cfg.model.num_items,), uid, jnp.int32)
+        hour = jnp.full((cfg.model.num_items,), args.hour, jnp.int32)
+        s = np.asarray(model.score_items_with_hour(
+            server.params, cfg.model, users, all_items, hour))
+        top = np.argsort(-s)[: args.top_k]
+        print(f"\nWith hour-of-day={args.hour} modulation "
+              f"(forward_simple semantics):")
+        for rank, item in enumerate(top):
+            print(f"  #{rank + 1:>2} item {int(item):<6} score={s[item]:.4f}")
+
+    report = intelligence_report(
+        server.params, cfg.model, uid, scores, items)
+    print("\nModel intelligence:")
+    print(f"  component importance: MF={report['component_importance']['mf']:.2f}"
+          f" MLP={report['component_importance']['mlp']:.2f}")
+    print(f"  attention heads (std-importance): "
+          f"{report['attention_head_importance']}")
+    print(f"  confidence: mean={report['confidence']['mean']:.3f} "
+          f"std={report['confidence']['std']:.3f}")
+    return 0
+
+
 def cmd_datagen(args) -> int:
     from ncf_tpu.serving.export import export_interactions_jsonl
 
@@ -279,6 +341,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output")
     sp.set_defaults(fn=cmd_datagen)
+
+    sp = sub.add_parser("demo", help="terminal demo: top-k + intelligence")
+    common(sp)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--customer", type=int, default=0)
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument("--hour", type=int, default=None)
+    sp.set_defaults(fn=cmd_demo)
 
     return p
 

@@ -1,0 +1,162 @@
+"""Tests for warehouse schemas, row generators, and the naming subsystem."""
+
+import numpy as np
+import pytest
+
+from ncf_tpu.data.generators import (
+    build_warehouse,
+    generate_customers,
+    generate_products,
+    generate_stores,
+    generate_transactions,
+)
+from ncf_tpu.data.schemas import (
+    SCHEMA_DEFINITIONS,
+    DatasetWriter,
+    validate_row,
+)
+from ncf_tpu.data.synthetic import generate_interactions
+from ncf_tpu.naming import (
+    ProductNameGenerator,
+    parse_response,
+    prompt_for_category,
+    validate_category_keywords,
+    validate_line_format,
+)
+
+
+class TestSchemas:
+    def test_five_tables_defined(self):
+        assert set(SCHEMA_DEFINITIONS) == {
+            "loyalty_customer_dim", "store_dim", "product_features",
+            "transaction_header_fact", "transaction_body_fact"}
+
+    def test_validate_row(self):
+        row = {"cardnumber": "7001", "cust_code": "C1",
+               "enrollment_status": 1}
+        assert validate_row("loyalty_customer_dim", row) == []
+        assert validate_row("loyalty_customer_dim",
+                            {"cust_code": "C1"})  # missing required
+        errs = validate_row("loyalty_customer_dim",
+                            {"cardnumber": 5, "cust_code": "C1",
+                             "enrollment_status": 1})
+        assert any("cardnumber" in e for e in errs)
+        errs = validate_row("loyalty_customer_dim",
+                            {"cardnumber": "7", "cust_code": "C1",
+                             "enrollment_status": 1, "bogus": 1})
+        assert any("bogus" in e for e in errs)
+
+    def test_writer_roundtrip(self, tmp_path):
+        w = DatasetWriter(str(tmp_path))
+        rows = generate_customers(10, seed=1)
+        assert w.insert_rows("loyalty_customer_dim", rows) == 10
+        assert w.count_rows("loyalty_customer_dim") == 10
+        active = w.read_rows("loyalty_customer_dim",
+                             where=lambda r: r["enrollment_status"] == 1)
+        assert all(r["enrollment_status"] == 1 for r in active)
+        w.clear_table("loyalty_customer_dim")
+        assert w.count_rows("loyalty_customer_dim") == 0
+
+    def test_writer_strict_raises(self, tmp_path):
+        w = DatasetWriter(str(tmp_path))
+        with pytest.raises(ValueError):
+            w.insert_rows("store_dim", [{"location_id": "S1"}])
+
+
+class TestGenerators:
+    def test_customers_distribution_and_timeline(self):
+        rows = generate_customers(2000, seed=0)
+        states = [r["state"] for r in rows]
+        assert abs(states.count("PA") / 2000 - 0.40) < 0.05
+        for r in rows[:100]:
+            assert (r["activation_date"] <= r["first_transaction_date"]
+                    <= r["last_transaction_date"])
+        assert all(validate_row("loyalty_customer_dim", r) == []
+                   for r in rows[:50])
+
+    def test_stores_valid(self):
+        rows = generate_stores(50, seed=0)
+        assert all(validate_row("store_dim", r) == [] for r in rows)
+        types = {r["store_type"] for r in rows}
+        assert "standard" in types
+        for r in rows:
+            assert len(r["amenities"]) > 0
+
+    def test_products_names_and_taxonomy(self):
+        rows, dept, cat = generate_products(120, seed=0)
+        assert len(rows) == 120
+        assert all(validate_row("product_features", r) == [] for r in rows)
+        names = {r["product_name"] for r in rows}
+        assert len(names) > 60  # mostly distinct names
+
+    def test_transactions_totals(self):
+        inter = generate_interactions(50, 30, 10, 6, seed=2)
+        headers, bodies = generate_transactions(inter, num_stores=5, seed=3)
+        assert sum(h["item_count"] for h in headers) == len(inter)
+        h0 = headers[0]
+        assert h0["total"] == pytest.approx(
+            h0["subtotal"] * 1.06, rel=1e-6)
+        lines0 = [b for b in bodies
+                  if b["transaction_number"] == h0["transaction_number"]]
+        assert len(lines0) == h0["item_count"]
+        assert all(validate_row("transaction_header_fact", h) == []
+                   for h in headers[:20])
+        assert all(validate_row("transaction_body_fact", b) == []
+                   for b in bodies[:20])
+
+    def test_build_warehouse(self, tmp_path):
+        inter = build_warehouse(str(tmp_path), num_users=40, num_items=30,
+                                num_stores=4, num_days=10)
+        w = DatasetWriter(str(tmp_path))
+        assert w.count_rows("loyalty_customer_dim") == 40
+        assert w.count_rows("product_features") == 30
+        assert w.count_rows("transaction_body_fact") == len(inter)
+        assert w.count_rows("transaction_header_fact") > 0
+
+
+class TestNaming:
+    def test_prompt_contains_rules(self):
+        p = prompt_for_category("COF", 5)
+        assert "coffee" in p and "category code COF" in p
+
+    def test_parser(self):
+        text = """Classic Latte (16 oz) [Double Shot, Oat Milk]
+        2. Iced Cold Brew (20 oz)
+        Honey Espresso
+        [broken line"""
+        prods = parse_response(text)
+        names = [p.name for p in prods]
+        assert "Classic Latte" in names
+        latte = prods[names.index("Classic Latte")]
+        assert latte.size == "16 oz"
+        assert latte.customizations == ["Double Shot", "Oat Milk"]
+        iced = prods[names.index("Iced Cold Brew")]
+        assert iced.is_cold and not iced.is_hot
+
+    def test_dietary_flags(self):
+        prods = parse_response("Vegan Gluten-Free Wrap (Large)")
+        assert set(prods[0].dietary_flags) == {"vegan", "gluten_free"}
+
+    def test_validators(self):
+        ok, _ = validate_line_format("Classic Latte (16 oz)")
+        assert ok
+        ok, why = validate_line_format("ab")
+        assert not ok
+        ok, _ = validate_category_keywords("Classic Latte (16 oz)", "COF")
+        assert ok
+        ok, why = validate_category_keywords("Cheap Beer (12 oz)", "COF")
+        assert not ok and "forbidden" in why
+
+    def test_generator_meets_count_and_validates(self):
+        g = ProductNameGenerator(seed=0)
+        prods = g.generate_for_category("CHP", 15)
+        assert len(prods) == 15
+        assert len({p.name for p in prods}) == 15
+
+    def test_generator_with_failing_client_falls_back(self):
+        def bad_client(prompt):
+            raise RuntimeError("no egress")
+
+        g = ProductNameGenerator(client=bad_client, max_attempts=2)
+        prods = g.generate_for_category("BEV", 5)
+        assert len(prods) == 5  # placeholder fallback
