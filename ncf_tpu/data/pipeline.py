@@ -46,7 +46,7 @@ class BatchIterator:
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
-        self._rng = np.random.default_rng(seed)
+        self._seed = int(seed)
         hour, day, month, doy = temporal_features(interactions.timestamps)
         self._cols: Batch = {
             "user_ids": interactions.user_ids,
@@ -69,11 +69,15 @@ class BatchIterator:
         n = len(self.inter)
         idx = np.arange(n)
         if self.shuffle:
-            # per-epoch deterministic shuffle (trainer reproducibility)
-            rng = np.random.default_rng(self._rng.bit_generator.seed_seq.entropy or 0)
-            for _ in range(epoch_idx + 1):
-                perm = rng.permutation(n)
-            idx = idx[perm]
+            # per-epoch deterministic shuffle, O(n) regardless of epoch
+            # index (the C++ Fisher-Yates when built)
+            from ncf_tpu import native
+
+            seed = (self._seed * 1_000_003 + epoch_idx + 1) & 0x7FFFFFFF
+            if native.available():
+                idx = native.shuffled_indices(n, seed)
+            else:
+                idx = np.random.default_rng(seed).permutation(n)
         B = self.batch_size
         for b in range(self.num_batches):
             sl = idx[b * B : (b + 1) * B]
