@@ -218,6 +218,23 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_consolidate(args) -> int:
+    """Merge a (sharded) checkpoint into single-file dense leaves for
+    serving export (the consolidate_shards.py analogue — metadata-driven,
+    not size-matching)."""
+    from ncf_tpu.train import checkpoint as ckpt_lib
+
+    cfg = load_config(args)
+    ckpt = (args.checkpoint
+            or ckpt_lib.find_best(cfg.train.checkpoint_dir)
+            or ckpt_lib.find_latest(cfg.train.checkpoint_dir))
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint under {cfg.train.checkpoint_dir}")
+    out = ckpt_lib.consolidate(ckpt, args.output or (ckpt + "_consolidated"))
+    print(f"consolidated {ckpt} -> {out}")
+    return 0
+
+
 def cmd_demo(args) -> int:
     """Interactive-style terminal demo (the Streamlit app analogue,
     reference demo/app.py:250-553): top-k for a customer, optional
@@ -341,6 +358,13 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output")
     sp.set_defaults(fn=cmd_datagen)
+
+    sp = sub.add_parser("consolidate",
+                        help="merge sharded checkpoint for serving")
+    common(sp)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--output")
+    sp.set_defaults(fn=cmd_consolidate)
 
     sp = sub.add_parser("demo", help="terminal demo: top-k + intelligence")
     common(sp)

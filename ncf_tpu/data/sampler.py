@@ -31,32 +31,48 @@ def make_sampling_cdf(weights) -> jax.Array:
     return cdf / cdf[-1]
 
 
-# Above this vocabulary size, compare-and-count's O(N*I) work loses to
-# log(I) rounds of (slow) scalar gathers.
-_COMPARE_COUNT_MAX_ITEMS = 65536
+# Flat compare-and-count up to this size; hierarchical above.
+_FLAT_MAX_ITEMS = 512
+_FANOUT = 128
 
 
 def _inverse_cdf(cdf: jax.Array, u: jax.Array) -> jax.Array:
-    """index = #{i : cdf[i] <= u}, the inverse-CDF transform.
+    """index = #{i : cdf[i] <= u}, the inverse-CDF transform — exact.
 
-    TPU note: scalar gathers from a 1-D table are pathologically slow on
-    TPU (a 12-step binary search measured ~30 ms for 262k draws on v5e,
-    versus ~1.7 ms for the fully vectorized compare-and-count reduction),
-    so for small/medium vocabularies we count compares on the VPU and only
-    fall back to binary search for huge item spaces."""
+    TPU design notes: scalar gathers from a 1-D table are pathologically
+    slow (a 12-step binary search measured ~30 ms for 262k draws on v5e)
+    and flat compare-and-count is O(draws * items) VPU work (4 ms of a
+    9 ms train step at batch 16k).  This implementation descends a
+    128-ary tree of CDF levels: each level is one compare-count over a
+    row of 128 boundaries, and moving between levels is a *row* gather
+    (TPU-fast, unlike scalar gathers).  Work per draw is
+    128 * ceil(log128(items)) instead of `items`."""
     num_items = cdf.shape[0]
-    if num_items <= _COMPARE_COUNT_MAX_ITEMS:
+    if num_items <= _FLAT_MAX_ITEMS:
         counts = (cdf[(None,) * u.ndim] <= u[..., None]).sum(-1)
         return jnp.clip(counts, 0, num_items - 1).astype(jnp.int32)
-    lo = jnp.zeros(u.shape, jnp.int32)
-    hi = jnp.full(u.shape, num_items, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(num_items))) + 1):
-        mid = (lo + hi) // 2
-        v = cdf[jnp.clip(mid, 0, num_items - 1)]
-        go_right = v <= u
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return jnp.clip(lo, 0, num_items - 1)
+
+    # build levels bottom-up: leaves padded to a multiple of 128, each
+    # upper level holds the last element of each 128-block below
+    levels = []
+    level = cdf
+    while level.shape[0] > _FANOUT:
+        n = -(-level.shape[0] // _FANOUT) * _FANOUT
+        level = jnp.pad(level, (0, n - level.shape[0]),
+                        constant_values=np.float32(np.inf))
+        levels.append(level.reshape(-1, _FANOUT))   # [rows, 128]
+        level = level.reshape(-1, _FANOUT)[:, -1]   # block maxima
+    # root: <=128 entries
+    root = jnp.pad(level, (0, _FANOUT - level.shape[0]),
+                   constant_values=np.float32(np.inf))
+    shape = u.shape
+    uf = u.reshape(-1)                              # [n]
+    idx = (root[None, :] <= uf[:, None]).sum(-1).astype(jnp.int32)
+    for lv in reversed(levels):
+        rows = jnp.take(lv, jnp.minimum(idx, lv.shape[0] - 1), axis=0)
+        within = (rows <= uf[:, None]).sum(-1).astype(jnp.int32)
+        idx = idx * _FANOUT + within
+    return jnp.clip(idx, 0, num_items - 1).reshape(shape)
 
 
 @partial(jax.jit, static_argnames=("num_negatives", "num_rounds", "num_items"))
@@ -67,7 +83,7 @@ def sample_negatives(
     num_negatives: int,
     cdf: Optional[jax.Array] = None,  # f32 [num_items] from make_sampling_cdf
     history: Optional[jax.Array] = None,      # int32 [B, H] padded with -1
-    num_rounds: int = 4,
+    num_rounds: int = 2,
 ) -> jax.Array:
     """Draw ``[B, num_negatives]`` negatives on device.
 
@@ -75,8 +91,11 @@ def sample_negatives(
     distribution and keeps the first that collides with neither the row's
     positive nor (optionally) the padded user history — the static-shape
     analogue of the reference's rejection loop (data_prep.py:134-161).  If
-    all rounds collide, the last draw is kept (collision probability after
-    8 weighted rounds is negligible and standard in NCF training).
+    all rounds collide, the last draw is kept: after 2 weighted redraw
+    rounds the residual collision probability with the row's positive is
+    p(item)^2, vanishing under inverse-popularity weights, and a residual
+    collision merely relabels one duplicate pair — standard NCF noise.
+    Raise ``num_rounds`` when passing a dense ``history``.
 
     Weighted draws use inverse-CDF ``searchsorted`` (O(log I) gathers per
     draw) rather than ``jax.random.categorical``, whose Gumbel-max

@@ -83,11 +83,14 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
     """Build the parameter pytree (architecture.py:121-256)."""
     keys = jax.random.split(key, 12)
     combined_dim = cfg.mlp_dim + cfg.temporal_dim
+    # MF and MLP tables are stored FUSED along the feature axis
+    # ([*, mf_dim + mlp_dim], 128 lanes at the default dims): one gather
+    # and one scatter-add serve both paths, and rows are lane-aligned.
     params: Params = {
-        "mf_user": embedding_init(keys[0], cfg.num_users, cfg.mf_dim),
-        "mf_item": embedding_init(keys[1], cfg.num_items, cfg.mf_dim),
-        "mlp_user": embedding_init(keys[2], cfg.num_users, cfg.mlp_dim),
-        "mlp_item": embedding_init(keys[3], cfg.num_items, cfg.mlp_dim),
+        "user_emb": embedding_init(keys[0], cfg.num_users,
+                                   cfg.mf_dim + cfg.mlp_dim),
+        "item_emb": embedding_init(keys[1], cfg.num_items,
+                                   cfg.mf_dim + cfg.mlp_dim),
         "mf_norm": layer_norm_init(cfg.mf_dim),
         "mlp_norm": layer_norm_init(cfg.mlp_dim),
         "attn": mha_init(keys[4], cfg.mlp_dim),
@@ -213,28 +216,34 @@ def apply(
     # hot path; shared norms per architecture.py:305-312).  When the
     # vocabulary is small, normalize the whole table once and gather
     # normalized rows; otherwise gather then normalize per occurrence.
+    dmf = cfg.mf_dim
     if vocab:
-        mf_user_t = layer_norm(params["mf_norm"], params["mf_user"])
-        mf_item_t = layer_norm(params["mf_norm"], params["mf_item"])
-        mlp_user_t = layer_norm(params["mlp_norm"], params["mlp_user"])
-        mlp_item_t = layer_norm(params["mlp_norm"], params["mlp_item"])
+        # normalize both halves of the fused tables once over the
+        # vocabulary, fold in the hierarchy, then ONE gather per entity
+        user_t = jnp.concatenate([
+            layer_norm(params["mf_norm"], params["user_emb"][:, :dmf]),
+            layer_norm(params["mlp_norm"], params["user_emb"][:, dmf:]),
+        ], axis=-1)
+        item_mlp_t = layer_norm(params["mlp_norm"], params["item_emb"][:, dmf:])
         if use_cat:
-            mlp_item_t = mlp_item_t + _hierarchy_table(
+            item_mlp_t = item_mlp_t + _hierarchy_table(
                 params["category"], item_dept, item_cat,
                 cfg.dropout, rngs.get("cat"), deterministic, dtype)
-        user_mf = embedding_lookup(mf_user_t, user_ids)
-        item_mf = embedding_lookup(mf_item_t, item_ids)
-        user_mlp = embedding_lookup(mlp_user_t, user_ids)
-        item_mlp = embedding_lookup(mlp_item_t, item_ids)
+        item_t = jnp.concatenate([
+            layer_norm(params["mf_norm"], params["item_emb"][:, :dmf]),
+            item_mlp_t,
+        ], axis=-1)
+        user_full = embedding_lookup(user_t, user_ids)       # [B, 2d]
+        item_full = embedding_lookup(item_t, item_ids)       # [B, S, 2d]
+        user_mf, user_mlp = user_full[:, :dmf], user_full[:, dmf:]
+        item_mf, item_mlp = item_full[..., :dmf], item_full[..., dmf:]
     else:
-        user_mf = layer_norm(params["mf_norm"],
-                             embedding_lookup(params["mf_user"], user_ids))
-        item_mf = layer_norm(params["mf_norm"],
-                             embedding_lookup(params["mf_item"], item_ids))
-        user_mlp = layer_norm(params["mlp_norm"],
-                              embedding_lookup(params["mlp_user"], user_ids))
-        item_mlp = layer_norm(params["mlp_norm"],
-                              embedding_lookup(params["mlp_item"], item_ids))
+        user_full = embedding_lookup(params["user_emb"], user_ids)
+        item_full = embedding_lookup(params["item_emb"], item_ids)
+        user_mf = layer_norm(params["mf_norm"], user_full[:, :dmf])
+        user_mlp = layer_norm(params["mlp_norm"], user_full[:, dmf:])
+        item_mf = layer_norm(params["mf_norm"], item_full[..., :dmf])
+        item_mlp = layer_norm(params["mlp_norm"], item_full[..., dmf:])
         if use_cat:
             hier = _hierarchy_table(
                 params["category"], item_dept[item_ids].reshape(-1),
@@ -318,9 +327,12 @@ def score_items_with_hour(
     dtype = jnp.dtype(cfg.compute_dtype)
     B = user_ids.shape[0]
 
-    user_mf = layer_norm(params["mf_norm"], embedding_lookup(params["mf_user"], user_ids))
-    item_mf = layer_norm(params["mf_norm"], embedding_lookup(params["mf_item"], item_ids))
-    item_mlp = layer_norm(params["mlp_norm"], embedding_lookup(params["mlp_item"], item_ids))
+    dmf = cfg.mf_dim
+    user_full = embedding_lookup(params["user_emb"], user_ids)
+    item_full = embedding_lookup(params["item_emb"], item_ids)
+    user_mf = layer_norm(params["mf_norm"], user_full[:, :dmf])
+    item_mf = layer_norm(params["mf_norm"], item_full[:, :dmf])
+    item_mlp = layer_norm(params["mlp_norm"], item_full[:, dmf:])
 
     if hour is not None:
         hour_e = embedding_lookup(params["temporal"]["hour"], hour)  # [B, dt]
@@ -351,11 +363,11 @@ def score_items_with_hour(
 def get_user_embeddings(params: Params, user_ids: jax.Array) -> Dict[str, jax.Array]:
     """Normalized user embedding export for ANN serving
     (architecture.py:383-391)."""
+    dmf = params["mf_norm"]["scale"].shape[0]
+    full = embedding_lookup(params["user_emb"], user_ids)
     return {
-        "mf": layer_norm(params["mf_norm"],
-                         embedding_lookup(params["mf_user"], user_ids)),
-        "mlp": layer_norm(params["mlp_norm"],
-                          embedding_lookup(params["mlp_user"], user_ids)),
+        "mf": layer_norm(params["mf_norm"], full[:, :dmf]),
+        "mlp": layer_norm(params["mlp_norm"], full[:, dmf:]),
     }
 
 
@@ -368,11 +380,11 @@ def get_product_embeddings(
 ) -> Dict[str, jax.Array]:
     """Normalized item embedding export, with the category-hierarchy vector
     (architecture.py:393-407)."""
+    dmf = cfg.mf_dim
+    full = embedding_lookup(params["item_emb"], item_ids)
     out = {
-        "mf": layer_norm(params["mf_norm"],
-                         embedding_lookup(params["mf_item"], item_ids)),
-        "mlp": layer_norm(params["mlp_norm"],
-                          embedding_lookup(params["mlp_item"], item_ids)),
+        "mf": layer_norm(params["mf_norm"], full[:, :dmf]),
+        "mlp": layer_norm(params["mlp_norm"], full[:, dmf:]),
     }
     if cfg.use_category and "category" in params and item_dept is not None:
         table = _hierarchy_table(

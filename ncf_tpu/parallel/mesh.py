@@ -26,7 +26,8 @@ ICI_AXIS = "ici"
 
 # param-path substrings identifying row-shardable embedding tables
 EMBEDDING_TABLE_KEYS = (
-    "mf_user", "mf_item", "mlp_user", "mlp_item",
+    "user_emb", "item_emb",           # AdvancedNCF fused tables
+    "mf_user", "mf_item", "mlp_user", "mlp_item",  # NCF/NeuMF tables
     "gmf_user", "gmf_item",
 )
 

@@ -36,10 +36,13 @@ def attention_head_importance(
     H = cfg.num_heads
     D = cfg.mlp_dim
     hd = D // H
-    user_mlp = layer_norm(params["mlp_norm"],
-                          embedding_lookup(params["mlp_user"], user_ids))
-    item_mlp = layer_norm(params["mlp_norm"],
-                          embedding_lookup(params["mlp_item"], item_ids))
+    dmf = cfg.mf_dim
+    user_mlp = layer_norm(
+        params["mlp_norm"],
+        embedding_lookup(params["user_emb"], user_ids)[:, dmf:])
+    item_mlp = layer_norm(
+        params["mlp_norm"],
+        embedding_lookup(params["item_emb"], item_ids)[..., dmf:])
     p = params["attn"]
     q = dense(p["q"], user_mlp)                     # [B, D]
     k = dense(p["k"], item_mlp)                     # [B, S, D]

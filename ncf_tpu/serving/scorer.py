@@ -79,12 +79,14 @@ class AdvancedNCFScorer:
         self._bf = params["final"]["b"][0]
         self._bmf = params["mf_out"]["b"][0]
 
-        # item vectors: LN(mf_item)  [I, dmf]
-        self.item_vecs = layer_norm(params["mf_norm"], params["mf_item"])
+        dmf = cfg.mf_dim
+        # item vectors: LN(mf half of the fused item table)  [I, dmf]
+        self.item_vecs = layer_norm(params["mf_norm"],
+                                    params["item_emb"][:, :dmf])
         # user query table: wf1 * (LN(mf_user) o w_mf)  [U, dmf]
         w_mf = params["mf_out"]["w"][:, 0]         # [dmf]
         self.user_queries = (
-            layer_norm(params["mf_norm"], params["mf_user"])
+            layer_norm(params["mf_norm"], params["user_emb"][:, :dmf])
             * w_mf[None, :] * self._wf1)
         self._bias_cache.clear()
 
@@ -95,7 +97,8 @@ class AdvancedNCFScorer:
         dtype = jnp.dtype(cfg.compute_dtype)
         I = cfg.num_items
 
-        item_mlp = layer_norm(params["mlp_norm"], params["mlp_item"])
+        item_mlp = layer_norm(params["mlp_norm"],
+                              params["item_emb"][:, cfg.mf_dim:])
         if cfg.use_category and self.item_dept is not None and "category" in params:
             item_mlp = item_mlp + advanced_ncf._hierarchy_table(
                 params["category"], self.item_dept, self.item_cat,

@@ -28,6 +28,25 @@ def bce_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return optax.sigmoid_binary_cross_entropy(logits, targets).mean()
 
 
+def bpr_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Bayesian Personalized Ranking: -log sigmoid(pos - neg) averaged
+    over each interaction's (positive, negative) pairs.  Column 0 is the
+    positive (the framework's slot layout); the BPR half of the
+    'BPR/BCE training loop' in BASELINE.json's north star."""
+    del targets  # layout-implied: positive at column 0
+    pos = logits[:, :1]
+    neg = logits[:, 1:]
+    return jax.nn.softplus(-(pos - neg)).mean()
+
+
+def make_loss(name: str):
+    if name == "bce":
+        return bce_loss
+    if name == "bpr":
+        return bpr_loss
+    raise ValueError(f"unknown loss {name!r}; use 'bce' or 'bpr'")
+
+
 def make_train_step(
     model,
     cfg: Config,
@@ -45,6 +64,7 @@ def make_train_step(
     """
     mcfg = cfg.model
     S = 1 + mcfg.negative_samples
+    loss_impl = make_loss(cfg.train.loss)
 
     def loss_fn(params, batch, rng):
         rng_neg, rng_drop = jax.random.split(rng)
@@ -60,7 +80,7 @@ def make_train_step(
             item_dept, item_cat,
             candidate_attention=True, deterministic=False, rng=rng_drop)
         targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
-        return bce_loss(logits, targets), (logits, targets)
+        return loss_impl(logits, targets), (logits, targets)
 
     @jax.jit
     def train_step(params, opt_state, rng, batch):
@@ -87,6 +107,7 @@ def make_eval_step(
     all-positive degeneracy): returns per-batch loss + accuracy stats."""
     mcfg = cfg.model
     S = 1 + mcfg.negative_samples
+    loss_impl = make_loss(cfg.train.loss)
 
     @jax.jit
     def eval_step(params, rng, batch):
@@ -103,7 +124,7 @@ def make_eval_step(
             item_dept, item_cat,
             candidate_attention=True, deterministic=True)
         targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
-        metrics = {"loss": bce_loss(logits, targets),
+        metrics = {"loss": loss_impl(logits, targets),
                    **accuracy_stats(logits, targets)}
         return rng, metrics
 

@@ -66,6 +66,7 @@ class TrainConfig:
     """Training loop settings (reference: config/config.yaml:62-75, trainer.py:27-95)."""
 
     batch_size: int = 256
+    loss: str = "bce"                   # bce | bpr (north-star training losses)
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
     num_epochs: int = 50

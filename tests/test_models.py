@@ -189,10 +189,13 @@ def naive_apply(params, cfg, user_ids, item_ids, temporal, item_dept, item_cat,
     B, S = item_ids.shape
     D = cfg.mlp_dim
     take = lambda t, i: jnp.take(t, i, axis=0)
-    user_mf = layer_norm(params["mf_norm"], take(params["mf_user"], user_ids))
-    item_mf = layer_norm(params["mf_norm"], take(params["mf_item"], item_ids))
-    user_mlp = layer_norm(params["mlp_norm"], take(params["mlp_user"], user_ids))
-    item_mlp = layer_norm(params["mlp_norm"], take(params["mlp_item"], item_ids))
+    dmf = cfg.mf_dim
+    user_full = take(params["user_emb"], user_ids)
+    item_full = take(params["item_emb"], item_ids)
+    user_mf = layer_norm(params["mf_norm"], user_full[:, :dmf])
+    item_mf = layer_norm(params["mf_norm"], item_full[..., :dmf])
+    user_mlp = layer_norm(params["mlp_norm"], user_full[:, dmf:])
+    item_mlp = layer_norm(params["mlp_norm"], item_full[..., dmf:])
 
     # category hierarchy via full MHA (singleton key)
     cp = params["category"]

@@ -41,7 +41,7 @@ class TestShardedTrainer:
         t = Trainer(cfg, inter, mesh=mesh)
 
         # embedding tables actually row-sharded
-        spec = t.params["mf_user"].sharding.spec
+        spec = t.params["user_emb"].sharding.spec
         assert spec[0] == "ici", spec
         # dense tower replicated
         assert t.params["final"]["w"].sharding.spec == ()
@@ -49,7 +49,7 @@ class TestShardedTrainer:
         leaves = jax.tree_util.tree_flatten_with_path(t.opt_state)[0]
         mu_sharded = [
             leaf for path, leaf in leaves
-            if "mf_user" in ".".join(str(getattr(p, "key", "")) for p in path)
+            if "user_emb" in ".".join(str(getattr(p, "key", "")) for p in path)
             and hasattr(leaf, "sharding")]
         assert any(l.sharding.spec and l.sharding.spec[0] == "ici"
                    for l in mu_sharded)
@@ -71,8 +71,8 @@ class TestShardedTrainer:
 
         t2 = Trainer(cfg, inter, mesh=None)  # single-device restore
         assert t2.resume()
-        a = np.asarray(t1.params["mf_user"])
-        b = np.asarray(t2.params["mf_user"])
+        a = np.asarray(t1.params["user_emb"])
+        b = np.asarray(t2.params["user_emb"])
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
     def test_sharded_matches_unsharded_loss_trajectory(self, inter, tmp_path):
