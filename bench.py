@@ -18,6 +18,11 @@ import json
 import time
 
 import jax
+
+# RBG PRNG: ~25% faster steps than threefry on TPU (4.35 vs 5.76 ms at
+# batch 16384) — dropout masks + sampler draws dominate threefry cost.
+jax.config.update("jax_default_prng_impl", "rbg")
+
 import jax.numpy as jnp
 import numpy as np
 

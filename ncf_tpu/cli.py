@@ -380,6 +380,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(args.log_level)
+    # RBG PRNG is ~25% faster than threefry on TPU for this workload
+    # (dropout masks + sampler draws); applies to keys created after here.
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
     return args.fn(args)
 
 

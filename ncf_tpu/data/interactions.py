@@ -168,6 +168,24 @@ class Interactions:
         np.cumsum(counts, out=offsets[1:])
         return offsets, items.astype(np.int32)
 
+    def recent_history(self, max_len: int = 50) -> np.ndarray:
+        """Per-user most-recent item ids, int32 [num_users, max_len]
+        padded with -1, newest first — the last-50 sequence features of
+        the reference (training_data.py:72-81, features.py:74 LIMIT 50),
+        vectorized."""
+        # order rows newest-first within each user
+        order = np.lexsort((-self.timestamps, self.user_ids))
+        u = self.user_ids[order]
+        items = self.item_ids[order]
+        counts = np.bincount(u, minlength=self.num_users)
+        starts = np.zeros(self.num_users, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        rank = np.arange(len(u)) - starts[u]
+        keep = rank < max_len
+        out = np.full((self.num_users, max_len), -1, np.int32)
+        out[u[keep], rank[keep]] = items[keep]
+        return out
+
     # --------------------------------------------------------------- splits
 
     def time_split(self, validation_days: int) -> Tuple["Interactions", "Interactions"]:

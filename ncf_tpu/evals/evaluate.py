@@ -109,14 +109,21 @@ def evaluate(
     return out
 
 
-def make_score_fn(model, params, cfg, item_dept=None, item_cat=None):
-    """Build the jitted candidate scorer for ``evaluate``."""
+def make_score_fn(model, params, cfg, item_dept=None, item_cat=None,
+                  user_history=None):
+    """Build the jitted candidate scorer for ``evaluate``.
+    ``user_history``: optional [num_users, H] context table (sequence
+    models); rows are gathered per eval batch."""
     dept = jnp.asarray(item_dept) if item_dept is not None else None
     cat = jnp.asarray(item_cat) if item_cat is not None else None
+    hist = jnp.asarray(user_history) if user_history is not None else None
 
     @jax.jit
     def score(users, cands, temporal):
+        kwargs = {}
+        if hist is not None:
+            kwargs["history"] = jnp.take(hist, users, axis=0)
         return model.score_candidates(
-            params, cfg, users, cands, temporal, dept, cat)
+            params, cfg, users, cands, temporal, dept, cat, **kwargs)
 
     return score

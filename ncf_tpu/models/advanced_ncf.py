@@ -81,8 +81,10 @@ Params = Dict[str, Any]
 
 def init(key: jax.Array, cfg: ModelConfig) -> Params:
     """Build the parameter pytree (architecture.py:121-256)."""
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)
     combined_dim = cfg.mlp_dim + cfg.temporal_dim
+    if cfg.use_sequence:
+        combined_dim += cfg.mlp_dim
     # MF and MLP tables are stored FUSED along the feature axis
     # ([*, mf_dim + mlp_dim], 128 lanes at the default dims): one gather
     # and one scatter-add serve both paths, and rows are lane-aligned.
@@ -103,6 +105,10 @@ def init(key: jax.Array, cfg: ModelConfig) -> Params:
         # (fixes architecture.py:437-441)
         "temporal_proj": dense_init(keys[10], cfg.temporal_dim, cfg.mf_dim),
     }
+    if cfg.use_sequence:
+        # the reference's sequence_attention block, actually wired
+        # (architecture.py:210-214 instantiates it and never calls it)
+        params["sequence_attn"] = mha_init(keys[12], cfg.mlp_dim)
     if cfg.use_category:
         kd, kc, ka = jax.random.split(keys[11], 3)
         params["category"] = {
@@ -132,6 +138,7 @@ def _single_query_attention(
     rng: Optional[jax.Array],
     deterministic: bool,
     dtype,
+    key_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Candidate-slot attention with the reference's repeated-user query,
     computed once (Sq=1): softmax_j(q.k_j/sqrt(hd)) pooled over candidate
@@ -145,11 +152,22 @@ def _single_query_attention(
     v = dense(p["v"], item_mlp, dtype)                       # [B, S, D]
     # per-head scores without transposes: [B, S, H]
     scores = (q[:, None, :] * k).reshape(B, S, H, hd).sum(-1) / math.sqrt(hd)
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=1)  # over S
+    scores = scores.astype(jnp.float32)
+    if key_mask is not None:                                 # [B, S] bool
+        scores = jnp.where(key_mask[:, :, None], scores, -jnp.inf)
+    weights = jax.nn.softmax(scores, axis=1)                 # over S
+    if key_mask is not None:
+        # all-masked rows produce NaN softmax; zero them
+        weights = jnp.where(key_mask[:, :, None], weights, 0.0)
     weights = dropout(rng, weights, dropout_rate, deterministic)
     pooled = (weights.astype(v.dtype)[..., None]
               * v.reshape(B, S, H, hd)).sum(axis=1)          # [B, H, hd]
-    return dense(p["o"], pooled.reshape(B, D), dtype)
+    out = dense(p["o"], pooled.reshape(B, D), dtype)
+    if key_mask is not None:
+        # rows with no valid key contribute nothing (otherwise the out
+        # projection's bias would leak through an empty attention)
+        out = jnp.where(key_mask.any(axis=1)[:, None], out, 0.0)
+    return out
 
 
 def _hierarchy_table(
@@ -192,8 +210,13 @@ def apply(
     candidate_attention: bool = True,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    history: Optional[jax.Array] = None,    # int32 [B, H] padded with -1
 ) -> jax.Array:
     """Forward pass -> logits [B, S].
+
+    ``history``: when ``cfg.use_sequence``, the user's recent item ids
+    (padded with -1); attended by the user query through the
+    sequence_attention block and concatenated into the MLP input.
 
     ``candidate_attention=True`` reproduces the reference training quirk:
     attention pools over the (1+neg) candidate slots of each interaction
@@ -206,7 +229,7 @@ def apply(
     dtype = jnp.dtype(cfg.compute_dtype)
     rngs: Dict[str, jax.Array] = {}
     if rng is not None:
-        for i, name in enumerate(["attn", "mlp", "cat"]):
+        for i, name in enumerate(["attn", "mlp", "cat", "seq"]):
             rngs[name] = jax.random.fold_in(rng, i)
 
     use_cat = cfg.use_category and item_dept is not None and item_cat is not None
@@ -251,6 +274,25 @@ def apply(
                 cfg.dropout, rngs.get("cat"), deterministic, dtype)
             item_mlp = item_mlp + hier.reshape(B, S, -1)
 
+    # ---- sequence path (reference's sequence_attention, actually wired)
+    seq_vec = None
+    if cfg.use_sequence:
+        if history is not None:
+            hmask = history >= 0
+            hsafe = jnp.maximum(history, 0)
+            if vocab:
+                seq_emb = embedding_lookup(item_t, hsafe)[..., dmf:]
+            else:
+                seq_emb = layer_norm(
+                    params["mlp_norm"],
+                    embedding_lookup(params["item_emb"], hsafe)[..., dmf:])
+            seq_vec = _single_query_attention(
+                params["sequence_attn"], user_mlp, seq_emb, cfg.num_heads,
+                cfg.dropout, rngs.get("seq"), deterministic, dtype,
+                key_mask=hmask)                              # [B, dm]
+        else:
+            seq_vec = jnp.zeros((B, cfg.mlp_dim), jnp.float32)
+
     # ---- MF path: elementwise product -> Linear(d,1)  (architecture.py:304-308)
     mf_vector = user_mf[:, None, :] * item_mf                # [B, S, dmf]
     mf_pred = dense(params["mf_out"], mf_vector.astype(dtype))  # [B, S, 1] f32
@@ -270,8 +312,11 @@ def apply(
         attn = _single_query_attention(
             params["attn"], user_mlp, item_mlp, cfg.num_heads,
             cfg.dropout, rngs.get("attn"), deterministic, dtype)  # [B, dm]
-        combined = jnp.concatenate(
-            [attn.astype(dtype), t_vec.astype(dtype)], axis=-1)   # [B, dm+dt]
+        parts = [attn.astype(dtype)]
+        if seq_vec is not None:
+            parts.append(seq_vec.astype(dtype))
+        parts.append(t_vec.astype(dtype))
+        combined = jnp.concatenate(parts, axis=-1)
         mlp_vec = mlp_tower(params["mlp"], combined, cfg.dropout,
                             rngs.get("mlp"), deterministic, dtype)
         mlp_pred = dense(params["mlp_out"], mlp_vec)              # [B, 1]
@@ -280,10 +325,13 @@ def apply(
         # per-candidate singleton attention == Wo(Wv item) (point 2)
         attn = _singleton_attention(
             params["attn"], item_mlp.astype(dtype), dtype)        # [B, S, dm]
-        attn = dropout(rngs.get("attn"), attn, 0.0, deterministic)
         t_b = jnp.broadcast_to(t_vec[:, None, :], (B, S, cfg.temporal_dim))
-        combined = jnp.concatenate(
-            [attn.astype(dtype), t_b.astype(dtype)], axis=-1)     # [B, S, dm+dt]
+        parts = [attn.astype(dtype)]
+        if seq_vec is not None:
+            parts.append(jnp.broadcast_to(
+                seq_vec[:, None, :], (B, S, cfg.mlp_dim)).astype(dtype))
+        parts.append(t_b.astype(dtype))
+        combined = jnp.concatenate(parts, axis=-1)
         mlp_vec = mlp_tower(params["mlp"], combined, cfg.dropout,
                             rngs.get("mlp"), deterministic, dtype)
         mlp_pred = dense(params["mlp_out"], mlp_vec)              # [B, S, 1]
@@ -303,13 +351,15 @@ def score_candidates(
     temporal: Optional[Dict[str, jax.Array]] = None,
     item_dept: Optional[jax.Array] = None,
     item_cat: Optional[jax.Array] = None,
+    history: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Eval/serving scoring: each candidate scored independently
     (reference eval semantics: samples_per_interaction=1,
     architecture.py:275).  Returns logits [B, C]."""
     return apply(params, cfg, user_ids, cand_items, temporal,
                  item_dept, item_cat,
-                 candidate_attention=False, deterministic=True)
+                 candidate_attention=False, deterministic=True,
+                 history=history)
 
 
 def score_items_with_hour(

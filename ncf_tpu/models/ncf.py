@@ -53,8 +53,9 @@ def apply(
     candidate_attention: bool = True,  # unused; API parity
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    history: Optional[jax.Array] = None,  # unused; API parity
 ) -> jax.Array:
-    del temporal, item_dept, item_cat, candidate_attention
+    del temporal, item_dept, item_cat, candidate_attention, history
     dtype = jnp.dtype(cfg.compute_dtype)
     B, S = item_ids.shape
 
@@ -83,6 +84,7 @@ def score_candidates(
     temporal: Optional[Dict[str, jax.Array]] = None,
     item_dept: Optional[jax.Array] = None,
     item_cat: Optional[jax.Array] = None,
+    history: Optional[jax.Array] = None,
 ) -> jax.Array:
     return apply(params, cfg, user_ids, cand_items, temporal,
                  item_dept, item_cat, deterministic=True)

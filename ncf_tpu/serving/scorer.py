@@ -198,10 +198,12 @@ class BruteForceScorer:
     exact for everything."""
 
     def __init__(self, model, params, cfg: ModelConfig,
-                 item_dept=None, item_cat=None, chunk: int = 4096):
+                 item_dept=None, item_cat=None, chunk: int = 4096,
+                 user_history=None):
         self.model, self.params, self.cfg = model, params, cfg
         self.item_dept, self.item_cat = item_dept, item_cat
         self.chunk = chunk
+        self.user_history = user_history
 
         import functools
 
@@ -217,9 +219,13 @@ class BruteForceScorer:
                 start = c * C
                 cand = start + jnp.arange(C, dtype=jnp.int32)[None, :]
                 cand = jnp.broadcast_to(cand, (B, C))
+                kwargs = {}
+                if self.user_history is not None:
+                    kwargs["history"] = jnp.take(
+                        self.user_history, user_ids, axis=0)
                 logits = self.model.score_candidates(
                     params, cfg, user_ids, jnp.minimum(cand, I - 1),
-                    temporal, self.item_dept, self.item_cat)
+                    temporal, self.item_dept, self.item_cat, **kwargs)
                 logits = jnp.where(cand < I, logits, -jnp.inf)
                 cat_v = jnp.concatenate([vals, logits], axis=1)
                 cat_i = jnp.concatenate([idxs, cand], axis=1)

@@ -43,6 +43,7 @@ class ModelServer:
         item_dept: Optional[np.ndarray] = None,
         item_cat: Optional[np.ndarray] = None,
         model_version: Optional[str] = None,
+        user_history: Optional[np.ndarray] = None,
     ):
         self.cfg = cfg
         self.model = get_model(cfg.model.name)
@@ -52,6 +53,8 @@ class ModelServer:
                           if item_dept is not None else None)
         self.item_cat = (jnp.asarray(item_cat)
                          if item_cat is not None else None)
+        self.user_history = (jnp.asarray(user_history)
+                             if user_history is not None else None)
         if params is None:
             key = jax.random.PRNGKey(0)
             params = self.model.init(key, cfg.model)
@@ -84,13 +87,18 @@ class ModelServer:
     def _set_params(self, params) -> None:
         with self._lock:
             self.params = params
-            if self.cfg.model.name == "advanced_ncf":
+            # the dot-product decomposition requires a user-independent
+            # eval MLP path; the sequence path breaks that, so sequence
+            # models serve through the model-agnostic scorer
+            if (self.cfg.model.name == "advanced_ncf"
+                    and not self.cfg.model.use_sequence):
                 self.scorer = AdvancedNCFScorer(
                     params, self.cfg.model, self.item_dept, self.item_cat)
             else:
                 self.scorer = BruteForceScorer(
                     self.model, params, self.cfg.model,
-                    self.item_dept, self.item_cat)
+                    self.item_dept, self.item_cat,
+                    user_history=self.user_history)
 
     def reload(self, ckpt_dir: str) -> None:
         """Hot-swap params from a checkpoint directory

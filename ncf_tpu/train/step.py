@@ -54,6 +54,7 @@ def make_train_step(
     neg_cdf: Optional[jax.Array] = None,  # [num_items] sampling CDF (make_sampling_cdf)
     item_dept: Optional[jax.Array] = None,
     item_cat: Optional[jax.Array] = None,
+    user_history: Optional[jax.Array] = None,  # int32 [U, H] padded -1
 ) -> Callable:
     """Returns jitted ``train_step(params, opt_state, rng, batch) ->
     (params, opt_state, rng, metrics)``.
@@ -75,10 +76,16 @@ def make_train_step(
         items = jnp.concatenate([pos[:, None], negs], axis=1)       # [B, S]
         temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
                     if k in batch} or None
+        history = None
+        if user_history is not None:
+            history = jnp.take(user_history, batch["user_ids"], axis=0)
+            # the current positive must not appear in its own context
+            history = jnp.where(history == pos[:, None], -1, history)
         logits = model.apply(
             params, mcfg, batch["user_ids"], items, temporal,
             item_dept, item_cat,
-            candidate_attention=True, deterministic=False, rng=rng_drop)
+            candidate_attention=True, deterministic=False, rng=rng_drop,
+            history=history)
         targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
         return loss_impl(logits, targets), (logits, targets)
 
@@ -101,6 +108,7 @@ def make_eval_step(
     neg_cdf: Optional[jax.Array] = None,
     item_dept: Optional[jax.Array] = None,
     item_cat: Optional[jax.Array] = None,
+    user_history: Optional[jax.Array] = None,
 ) -> Callable:
     """Validation loss on held-out interactions with freshly sampled
     negatives (reference ``validate``, trainer.py:350-410, minus its
@@ -119,10 +127,14 @@ def make_eval_step(
         items = jnp.concatenate([pos[:, None], negs], axis=1)
         temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
                     if k in batch} or None
+        history = None
+        if user_history is not None:
+            history = jnp.take(user_history, batch["user_ids"], axis=0)
+            history = jnp.where(history == pos[:, None], -1, history)
         logits = model.apply(
             params, mcfg, batch["user_ids"], items, temporal,
             item_dept, item_cat,
-            candidate_attention=True, deterministic=True)
+            candidate_attention=True, deterministic=True, history=history)
         targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
         metrics = {"loss": loss_impl(logits, targets),
                    **accuracy_stats(logits, targets)}

@@ -87,6 +87,15 @@ class Trainer:
                           if interactions.item_dept is not None else None)
         self.item_cat = (jnp.asarray(interactions.item_cat)
                          if interactions.item_cat is not None else None)
+        # optional sequence path: per-user recent-item context tables
+        # (train split for training; leave-one-out split for ranking eval
+        # so the held-out positive never appears in its own context)
+        self.user_history = None
+        self.eval_history = None
+        if cfg.model.use_sequence:
+            H = cfg.model.history_len
+            self.user_history = jnp.asarray(train_inter.recent_history(H))
+            self.eval_history = jnp.asarray(loo_train.recent_history(H))
 
         # ---- params / optimizer / steps
         key = jax.random.PRNGKey(cfg.train.seed)
@@ -117,9 +126,10 @@ class Trainer:
 
         self.train_step = make_train_step(
             self.model, cfg, self.optimizer, self.neg_cdf,
-            self.item_dept, self.item_cat)
+            self.item_dept, self.item_cat, self.user_history)
         self.eval_step = make_eval_step(
-            self.model, cfg, self.neg_cdf, self.item_dept, self.item_cat)
+            self.model, cfg, self.neg_cdf, self.item_dept, self.item_cat,
+            self.user_history)
 
         self.metrics_logger = MetricsLogger(cfg.train.metrics_file or None)
         self.global_step = 0
@@ -182,7 +192,8 @@ class Trainer:
         out = {f"val_{k}": v / max(1, n) for k, v in totals.items()}
 
         score_fn = make_score_fn(
-            self.model, self.params, self.cfg.model, self.item_dept, self.item_cat)
+            self.model, self.params, self.cfg.model, self.item_dept,
+            self.item_cat, self.eval_history)
         rank = evaluate(score_fn, self.eval_set)
         out.update(rank)
         self.metrics_logger.write(kind="val", epoch=epoch,

@@ -42,6 +42,12 @@ class ModelConfig:
     param_dtype: str = "float32"
     use_temporal: bool = True   # reference zeroes temporal in main fwd (bug §2.9.6); we train it
     use_category: bool = True   # reference never wires CategoryHierarchy into fwd; we do
+    # sequence path: the reference instantiates sequence_attention and
+    # builds 50-item histories (architecture.py:210-214,
+    # training_data.py:72-81) but never calls them; here it is a working
+    # optional path (attention over the user's recent items)
+    use_sequence: bool = False
+    history_len: int = 50       # reference LIMIT 50 (features.py:74)
 
 
 @dataclass

@@ -1,0 +1,143 @@
+"""Sequence-path tests: the reference's sequence_attention + 50-item
+history features, actually functional (off by default)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ncf_tpu.data.interactions import Interactions
+from ncf_tpu.data.synthetic import generate_interactions
+from ncf_tpu.models import advanced_ncf
+from ncf_tpu.train.trainer import Trainer
+from ncf_tpu.utils.config import Config, ModelConfig
+
+
+def seq_cfg(**kw):
+    cfg = ModelConfig(
+        num_users=40, num_items=30, num_departments=4, num_categories=6,
+        mf_dim=16, mlp_dim=16, temporal_dim=8, mlp_hidden_dims=[32, 16],
+        num_heads=4, compute_dtype="float32", use_sequence=True,
+        history_len=6)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+class TestRecentHistory:
+    def test_newest_first_padded(self):
+        inter = Interactions(
+            user_ids=np.array([0, 1, 0, 0, 1]),
+            item_ids=np.array([5, 6, 7, 8, 9]),
+            timestamps=np.array([1, 2, 3, 4, 5]),
+            amounts=np.ones(5), num_users=2, num_items=10)
+        h = inter.recent_history(max_len=3)
+        np.testing.assert_array_equal(h[0], [8, 7, 5])   # newest first
+        np.testing.assert_array_equal(h[1], [9, 6, -1])  # padded
+
+    def test_truncates_to_max_len(self, tiny_interactions):
+        h = tiny_interactions.recent_history(max_len=4)
+        assert h.shape == (tiny_interactions.num_users, 4)
+        counts = np.bincount(tiny_interactions.user_ids,
+                             minlength=tiny_interactions.num_users)
+        filled = (h >= 0).sum(axis=1)
+        np.testing.assert_array_equal(filled, np.minimum(counts, 4))
+
+
+class TestSequenceModel:
+    def test_shapes_and_finite(self):
+        cfg = seq_cfg()
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg)
+        assert "sequence_attn" in params
+        rng = np.random.default_rng(0)
+        u = jnp.arange(5)
+        items = jnp.asarray(rng.integers(0, 30, (5, 4)), jnp.int32)
+        hist = jnp.asarray(rng.integers(-1, 30, (5, 6)), jnp.int32)
+        out = advanced_ncf.apply(params, cfg, u, items, None, None, None,
+                                 history=hist)
+        assert out.shape == (5, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_history_changes_scores(self):
+        cfg = seq_cfg()
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg)
+        u = jnp.arange(5)
+        items = jnp.asarray(np.arange(20).reshape(5, 4) % 30, jnp.int32)
+        h1 = jnp.full((5, 6), 3, jnp.int32)
+        h2 = jnp.full((5, 6), 9, jnp.int32)
+        a = advanced_ncf.apply(params, cfg, u, items, history=h1)
+        b = advanced_ncf.apply(params, cfg, u, items, history=h2)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_all_padding_equals_no_history(self):
+        """A fully-masked history must produce the same output as the
+        zero sequence vector (history=None)."""
+        cfg = seq_cfg()
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg)
+        u = jnp.arange(5)
+        items = jnp.asarray(np.arange(20).reshape(5, 4) % 30, jnp.int32)
+        empty = jnp.full((5, 6), -1, jnp.int32)
+        a = advanced_ncf.apply(params, cfg, u, items, history=empty)
+        b = advanced_ncf.apply(params, cfg, u, items, history=None)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_padding_rows_are_ignored(self):
+        """Adding padding next to real entries must not change scores."""
+        cfg = seq_cfg(history_len=4)
+        params = advanced_ncf.init(jax.random.PRNGKey(1), cfg)
+        u = jnp.arange(3)
+        items = jnp.asarray(np.arange(12).reshape(3, 4) % 30, jnp.int32)
+        h_short = jnp.asarray([[7, 2, -1, -1]] * 3, jnp.int32)
+        # same real entries, different padding amount cannot be expressed
+        # with static H; instead verify -1 slots don't contribute:
+        h_with_pad = jnp.asarray([[7, 2, -1, -1]] * 3, jnp.int32)
+        a = advanced_ncf.apply(params, cfg, u, items, history=h_short)
+        b = advanced_ncf.apply(params, cfg, u, items, history=h_with_pad)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # and that changing a PAD slot's id (still -1) vs making it real differs
+        h_real = jnp.asarray([[7, 2, 11, -1]] * 3, jnp.int32)
+        c = advanced_ncf.apply(params, cfg, u, items, history=h_real)
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_sequence_attn_gets_gradients(self):
+        cfg = seq_cfg()
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg)
+        u = jnp.arange(8)
+        items = jnp.asarray(np.arange(32).reshape(8, 4) % 30, jnp.int32)
+        hist = jnp.asarray(np.arange(48).reshape(8, 6) % 30, jnp.int32)
+
+        def loss(p):
+            return jnp.mean(advanced_ncf.apply(
+                p, cfg, u, items, history=hist) ** 2)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree_util.tree_leaves(g["sequence_attn"]))
+        assert total > 0
+
+
+class TestSequenceTraining:
+    def test_trains_end_to_end(self, tmp_path):
+        inter = generate_interactions(num_users=200, num_items=60,
+                                      num_days=30, avg_txns_per_user=12,
+                                      seed=21)
+        cfg = Config()
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 10
+        cfg.model.mf_dim = 16
+        cfg.model.mlp_dim = 16
+        cfg.model.temporal_dim = 8
+        cfg.model.mlp_hidden_dims = [32, 16]
+        cfg.model.compute_dtype = "float32"
+        cfg.data.num_eval_negatives = 30
+        cfg.train.batch_size = 128
+        cfg.train.num_epochs = 2
+        cfg.train.checkpoint_dir = str(tmp_path / "ck")
+        t = Trainer(cfg, inter)
+        assert t.user_history is not None
+        before = t.validate(-1)
+        t.train()
+        after = t.validate(99)
+        assert after["val_loss"] < before["val_loss"]
+        assert np.isfinite(after["hr@10"])
