@@ -17,11 +17,19 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
 import jax
 
 # RBG PRNG: ~25% faster steps than threefry on TPU (4.35 vs 5.76 ms at
 # batch 16384) — dropout masks + sampler draws dominate threefry cost.
 jax.config.update("jax_default_prng_impl", "rbg")
+# persistent compilation cache: cold compiles (scan-of-pallas ~2.5 min)
+# would otherwise dominate a fresh bench invocation
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np

@@ -29,7 +29,6 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
-import numpy as np
 from pydantic import ValidationError
 
 from ncf_tpu.serving.cache import FeatureCache

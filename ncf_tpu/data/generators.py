@@ -15,18 +15,13 @@ row-by-row Python dicts bound for BigQuery.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from ncf_tpu.data.interactions import SECONDS_PER_DAY, Interactions
 from ncf_tpu.data.schemas import DatasetWriter
-from ncf_tpu.data.synthetic import (
-    HOURLY_WEIGHTS,
-    TAXONOMY,
-    _catalog,
-    generate_interactions,
-)
+from ncf_tpu.data.synthetic import _catalog, generate_interactions
 from ncf_tpu.naming import ProductNameGenerator
 
 # loyalty_customer_generator.py state distribution

@@ -16,7 +16,7 @@ A small lookahead queue overlaps ``jax.device_put`` with compute.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -8,7 +8,7 @@ per-category keyword constraints consumed by the validators.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 LINE_FORMAT = "Name (Size) [Customization1, Customization2]"
 

@@ -31,8 +31,6 @@ the fast one (e.g. cross-DCN lookups).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 
 log = logging.getLogger(__name__)
 

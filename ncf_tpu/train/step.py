@@ -11,7 +11,7 @@ it into a single executable and the host only feeds int32 id batches.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

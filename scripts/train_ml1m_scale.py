@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, ".")
 
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
 from ncf_tpu.data.synthetic import generate_interactions
 from ncf_tpu.train.trainer import Trainer
 from ncf_tpu.utils.config import Config, setup_logging
@@ -33,8 +37,9 @@ def main():
     cfg.train.batch_size = 16384
     cfg.train.learning_rate = 1e-3
     cfg.train.weight_decay = 1e-5
-    cfg.train.num_epochs = 40
-    cfg.train.early_stopping_patience = 5
+    cfg.train.num_epochs = 60
+    cfg.train.early_stopping_patience = 8
+    cfg.train.lr_schedule = "cosine"
     cfg.train.checkpoint_dir = "results/ml1m_scale_ckpt"
     cfg.train.metrics_file = "results/ml1m_scale_metrics.jsonl"
     cfg.train.log_every_steps = 20
