@@ -67,6 +67,15 @@ class RecommendationAPI:
 
     # ---------------------------------------------------------- helpers
 
+    @staticmethod
+    def _normalize_context(context):
+        """Partial temporal contexts default missing keys to 0 and drop
+        unknown keys (a {'hour': 9}-only request must not 500)."""
+        if context is None:
+            return None
+        return {k: int(context.get(k, 0))
+                for k in ("hour", "day", "month", "day_of_year")}
+
     def _resolve_customer(self, customer_id: str) -> int:
         """Map an external customer id to a model index."""
         try:
@@ -99,7 +108,8 @@ class RecommendationAPI:
 
         scores, items, _ = self.server.recommend(
             uid, k=req.num_recommendations,
-            temporal=req.context, exclude_items=exclude)
+            temporal=self._normalize_context(req.context),
+            exclude_items=exclude)
 
         enriched = (self.processor.enrich_products(items, scores)
                     if self.processor is not None else None)
@@ -131,7 +141,8 @@ class RecommendationAPI:
         t0 = time.perf_counter()
         uids = [self._resolve_customer(c) for c in req.customer_ids]
         scores, idxs, _ = self.server.recommend_batch(
-            uids, k=req.num_recommendations, temporal=req.context)
+            uids, k=req.num_recommendations,
+            temporal=self._normalize_context(req.context))
         results = []
         for row, cid in enumerate(req.customer_ids):
             recs = [

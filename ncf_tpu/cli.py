@@ -106,12 +106,14 @@ def cmd_evaluate(args) -> int:
     else:
         log.warning("no checkpoint found; evaluating random params")
 
-    _, eval_users, eval_items = inter.leave_one_out()
+    loo_train, eval_users, eval_items = inter.leave_one_out()
     eval_set = EvalSet.build(inter, eval_users, eval_items,
                              cfg.data.num_eval_negatives, cfg.train.seed)
+    eval_history = (loo_train.recent_history(cfg.model.history_len)
+                    if cfg.model.use_sequence else None)
     score_fn = make_score_fn(
         model, params, cfg.model,
-        inter.item_dept, inter.item_cat)
+        inter.item_dept, inter.item_cat, eval_history)
     metrics = evaluate(score_fn, eval_set)
     print({k: round(v, 4) for k, v in metrics.items()})
     return 0

@@ -7,9 +7,13 @@ from ncf_tpu.utils.config import ModelConfig
 
 _REGISTRY = {
     "ncf": SimpleNamespace(
-        init=ncf.init, apply=ncf.apply, score_candidates=ncf.score_candidates),
+        init=ncf.init, apply=ncf.apply, score_candidates=ncf.score_candidates,
+        get_user_embeddings=ncf.get_user_embeddings,
+        get_product_embeddings=ncf.get_product_embeddings),
     "neumf": SimpleNamespace(
-        init=ncf.init, apply=ncf.apply, score_candidates=ncf.score_candidates),
+        init=ncf.init, apply=ncf.apply, score_candidates=ncf.score_candidates,
+        get_user_embeddings=ncf.get_user_embeddings,
+        get_product_embeddings=ncf.get_product_embeddings),
     "advanced_ncf": SimpleNamespace(
         init=advanced_ncf.init,
         apply=advanced_ncf.apply,

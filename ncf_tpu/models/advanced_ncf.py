@@ -154,10 +154,16 @@ def _single_query_attention(
     scores = (q[:, None, :] * k).reshape(B, S, H, hd).sum(-1) / math.sqrt(hd)
     scores = scores.astype(jnp.float32)
     if key_mask is not None:                                 # [B, S] bool
-        scores = jnp.where(key_mask[:, :, None], scores, -jnp.inf)
+        # large-finite mask, NOT -inf: an all-masked row would make the
+        # softmax NaN in the forward, and even a forward-side where()
+        # cannot stop NaN cotangents flowing back through exp (the
+        # classic double-where pitfall) — one single-interaction user
+        # would poison every shared parameter with NaN gradients
+        scores = jnp.where(key_mask[:, :, None], scores, -1e9)
     weights = jax.nn.softmax(scores, axis=1)                 # over S
     if key_mask is not None:
-        # all-masked rows produce NaN softmax; zero them
+        # fully-masked rows get uniform weights from the finite mask;
+        # zero them so padding never contributes
         weights = jnp.where(key_mask[:, :, None], weights, 0.0)
     weights = dropout(rng, weights, dropout_rate, deterministic)
     pooled = (weights.astype(v.dtype)[..., None]
@@ -286,6 +292,16 @@ def apply(
                 seq_emb = layer_norm(
                     params["mlp_norm"],
                     embedding_lookup(params["item_emb"], hsafe)[..., dmf:])
+                if use_cat:
+                    # keep history embeddings consistent with the item
+                    # tower across vocab/non-vocab paths (both include
+                    # the hierarchy vector)
+                    seq_hier = _hierarchy_table(
+                        params["category"],
+                        item_dept[hsafe].reshape(-1),
+                        item_cat[hsafe].reshape(-1),
+                        cfg.dropout, rngs.get("cat"), deterministic, dtype)
+                    seq_emb = seq_emb + seq_hier.reshape(seq_emb.shape)
             seq_vec = _single_query_attention(
                 params["sequence_attn"], user_mlp, seq_emb, cfg.num_heads,
                 cfg.dropout, rngs.get("seq"), deterministic, dtype,

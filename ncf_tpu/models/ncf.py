@@ -76,6 +76,24 @@ def apply(
     return dense(params["out"], fused)[..., 0]
 
 
+def get_user_embeddings(params: Params, user_ids: jax.Array):
+    """Embedding export surface (API parity with AdvancedNCF): the GMF
+    half doubles as the 'mf' vector, the MLP half as 'mlp'."""
+    return {
+        "mf": embedding_lookup(params["gmf_user"], user_ids),
+        "mlp": embedding_lookup(params["mlp_user"], user_ids),
+    }
+
+
+def get_product_embeddings(params: Params, cfg: ModelConfig,
+                           item_ids: jax.Array,
+                           item_dept=None, item_cat=None):
+    return {
+        "mf": embedding_lookup(params["gmf_item"], item_ids),
+        "mlp": embedding_lookup(params["mlp_item"], item_ids),
+    }
+
+
 def score_candidates(
     params: Params,
     cfg: ModelConfig,

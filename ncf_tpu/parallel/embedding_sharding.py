@@ -62,10 +62,19 @@ def _bucket_by_owner(ids: jax.Array, num_shards: int, rows_per_shard: int,
     rank_sorted = pos - first_of_owner[sorted_owner]           # [n]
     rank = jnp.zeros(n, jnp.int32).at[order].set(rank_sorted)
 
-    slot = owner * capacity + jnp.minimum(rank, capacity - 1)  # [n]
+    # over-capacity ids are ROUTED TO A DUMMY SLOT, never aliased onto
+    # another id's slot: their send entry is dropped (owner returns
+    # nothing) and their result row reads deterministic zeros.  Skewed id
+    # streams exceeding capacity therefore degrade gracefully (zero
+    # vectors / dropped gradient rows) instead of silently corrupting
+    # neighbours; size capacity_factor for the worst shard, not the mean.
+    overflow = rank >= capacity
+    slot = owner * capacity + rank                             # [n]
+    send_slot = jnp.where(overflow, num_shards * capacity, slot)  # OOB=drop
     send = jnp.full((num_shards * capacity,), SENTINEL, jnp.int32)
-    send = send.at[slot].set(ids.astype(jnp.int32))
-    return send.reshape(num_shards, capacity), slot
+    send = send.at[send_slot].set(ids.astype(jnp.int32), mode="drop")
+    gather_slot = jnp.where(overflow, num_shards * capacity, slot)
+    return send.reshape(num_shards, capacity), gather_slot
 
 
 def _exchange_lookup(table_shard: jax.Array, ids: jax.Array,
@@ -90,8 +99,12 @@ def _exchange_lookup(table_shard: jax.Array, ids: jax.Array,
 
     back = jax.lax.all_to_all(
         vecs, axis, split_axis=0, concat_axis=0, tiled=False)
-    # back [E, C, D]: bucket e = vectors for the ids we sent to shard e
-    return back.reshape(num_shards * capacity, D)[slot]
+    # back [E, C, D]: bucket e = vectors for the ids we sent to shard e;
+    # an appended zeros row serves over-capacity (dummy-slot) ids
+    flat = jnp.concatenate(
+        [back.reshape(num_shards * capacity, D),
+         jnp.zeros((1, D), back.dtype)], axis=0)
+    return flat[slot]
 
 
 def _exchange_grad(g: jax.Array, ids: jax.Array, num_shards: int,
@@ -104,8 +117,10 @@ def _exchange_grad(g: jax.Array, ids: jax.Array, num_shards: int,
     send_ids, slot = _bucket_by_owner(ids, num_shards, rows_per_shard,
                                       capacity)
     # place grad rows at their send slots (duplicate ids occupy distinct
-    # slots; summation happens at the owner)
-    send_g = jnp.zeros((num_shards * capacity, D), g.dtype).at[slot].add(g)
+    # slots; summation happens at the owner); over-capacity rows are
+    # dropped, mirroring the zero vectors their lookups returned
+    send_g = jnp.zeros((num_shards * capacity, D), g.dtype).at[slot].add(
+        g, mode="drop")
     send_g = send_g.reshape(num_shards, capacity, D)
 
     recv_ids = jax.lax.all_to_all(

@@ -107,8 +107,8 @@ class AdvancedNCFScorer:
             params["attn"], item_mlp.astype(dtype), dtype)    # [I, dm]
 
         if cfg.use_temporal and temporal is not None:
-            t_ids = {k: jnp.full((1,), int(v), jnp.int32)
-                     for k, v in temporal.items()}
+            t_ids = {k: jnp.full((1,), int(temporal.get(k, 0)), jnp.int32)
+                     for k in ("hour", "day", "month", "day_of_year")}
             t_vec = temporal_mod.apply(
                 params["temporal"], t_ids["hour"], t_ids["day"],
                 t_ids["month"], t_ids["day_of_year"])          # [1, dt]
@@ -159,15 +159,7 @@ class AdvancedNCFScorer:
                                  impl=self.impl)
         vals, idxs = np.asarray(vals), np.asarray(idxs)
         if exclude is not None:
-            out_v = np.full((len(vals), k), -np.inf, np.float32)
-            out_i = np.zeros((len(vals), k), np.int32)
-            for r in range(len(vals)):
-                seen = set(int(x) for x in exclude[r] if x >= 0)
-                keep = [c for c in range(fetch) if int(idxs[r, c]) not in seen]
-                keep = keep[:k]
-                out_v[r, :len(keep)] = vals[r, keep]
-                out_i[r, :len(keep)] = idxs[r, keep]
-            vals, idxs = out_v, out_i
+            vals, idxs = _filter_excluded(vals, idxs, exclude, k)
         return _sigmoid(vals), idxs
 
     def score_pairs(self, user_ids, item_ids,
@@ -180,6 +172,22 @@ class AdvancedNCFScorer:
                         jnp.asarray(item_ids, jnp.int32))
         logits = jnp.einsum("bd,bd->b", q, v) + bias
         return np.asarray(jax.nn.sigmoid(logits))
+
+
+def _filter_excluded(vals: np.ndarray, idxs: np.ndarray,
+                     exclude: np.ndarray, k: int):
+    """Drop per-row excluded item ids from over-fetched top-k results,
+    keeping the first k survivors (host-side; result rows already sorted).
+    ``exclude``: [B, H] item ids padded with -1."""
+    B, fetch = idxs.shape
+    out_v = np.full((B, k), -np.inf, vals.dtype)
+    out_i = np.zeros((B, k), np.int32)
+    for r in range(B):
+        seen = set(int(x) for x in exclude[r] if x >= 0)
+        keep = [c for c in range(fetch) if int(idxs[r, c]) not in seen][:k]
+        out_v[r, :len(keep)] = vals[r, keep]
+        out_i[r, :len(keep)] = idxs[r, keep]
+    return out_v, out_i
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -239,13 +247,22 @@ class BruteForceScorer:
 
         self._scan_topk = _scan_topk
 
+    def refresh(self, params) -> None:
+        """Swap params in place (POST /index/refresh surface)."""
+        self.params = params
+
     def topk_for_users(self, user_ids, k: int = 10, temporal=None,
                        exclude=None) -> Tuple[np.ndarray, np.ndarray]:
         user_ids = jnp.asarray(user_ids, jnp.int32)
         t = None
         if temporal is not None:
             B = user_ids.shape[0]
-            t = {key: jnp.full((B,), int(v), jnp.int32)
-                 for key, v in temporal.items()}
-        vals, idxs = self._scan_topk(self.params, user_ids, t, k)
-        return _sigmoid(np.asarray(vals)), np.asarray(idxs)
+            t = {key: jnp.full((B,), int(temporal.get(key, 0)), jnp.int32)
+                 for key in ("hour", "day", "month", "day_of_year")}
+        fetch = k if exclude is None else min(
+            self.cfg.num_items, k + exclude.shape[1])
+        vals, idxs = self._scan_topk(self.params, user_ids, t, fetch)
+        vals, idxs = _sigmoid(np.asarray(vals)), np.asarray(idxs)
+        if exclude is not None:
+            vals, idxs = _filter_excluded(vals, idxs, exclude, k)
+        return vals, idxs

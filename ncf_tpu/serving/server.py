@@ -134,10 +134,14 @@ class ModelServer:
         users = np.full(len(item_ids), user_id, np.int32)
         if hasattr(self.scorer, "score_pairs"):
             return self.scorer.score_pairs(users, item_ids, temporal)
-        scores, _ = self.scorer.topk_for_users(
+        # fallback: score the whole catalog, then map item id -> score
+        # (topk returns rank-sorted (scores, idxs), not id-indexed scores)
+        scores, idxs = self.scorer.topk_for_users(
             np.asarray([user_id]), k=self.cfg.model.num_items,
             temporal=temporal)
-        return scores[0][item_ids]
+        by_item = np.zeros(self.cfg.model.num_items, np.float32)
+        by_item[idxs[0]] = scores[0]
+        return by_item[np.asarray(item_ids)]
 
     def recommend(
         self,

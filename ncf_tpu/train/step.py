@@ -78,8 +78,14 @@ def make_train_step(
                     if k in batch} or None
         history = None
         if user_history is not None:
+            # static per-user context table (train split); the current
+            # positive is masked out of its own context, but items the
+            # user bought AFTER this example remain visible — the same
+            # approximation the reference's last-50 feature pipeline
+            # makes (features.py:74).  Strictly-causal per-example
+            # histories are a known TODO (requires per-row context in
+            # the batch).
             history = jnp.take(user_history, batch["user_ids"], axis=0)
-            # the current positive must not appear in its own context
             history = jnp.where(history == pos[:, None], -1, history)
         logits = model.apply(
             params, mcfg, batch["user_ids"], items, temporal,
