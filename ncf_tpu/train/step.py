@@ -66,6 +66,7 @@ def make_train_step(
     mcfg = cfg.model
     S = 1 + mcfg.negative_samples
     loss_impl = make_loss(cfg.train.loss)
+    joint = mcfg.candidate_mode == "joint"
 
     def loss_fn(params, batch, rng):
         rng_neg, rng_drop = jax.random.split(rng)
@@ -90,7 +91,7 @@ def make_train_step(
         logits = model.apply(
             params, mcfg, batch["user_ids"], items, temporal,
             item_dept, item_cat,
-            candidate_attention=True, deterministic=False, rng=rng_drop,
+            candidate_attention=joint, deterministic=False, rng=rng_drop,
             history=history)
         targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
         return loss_impl(logits, targets), (logits, targets)
@@ -122,6 +123,7 @@ def make_eval_step(
     mcfg = cfg.model
     S = 1 + mcfg.negative_samples
     loss_impl = make_loss(cfg.train.loss)
+    joint = mcfg.candidate_mode == "joint"
 
     @jax.jit
     def eval_step(params, rng, batch):
@@ -140,7 +142,7 @@ def make_eval_step(
         logits = model.apply(
             params, mcfg, batch["user_ids"], items, temporal,
             item_dept, item_cat,
-            candidate_attention=True, deterministic=True, history=history)
+            candidate_attention=joint, deterministic=True, history=history)
         targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
         metrics = {"loss": loss_impl(logits, targets),
                    **accuracy_stats(logits, targets)}

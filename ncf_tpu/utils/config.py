@@ -48,6 +48,14 @@ class ModelConfig:
     # optional path (attention over the user's recent items)
     use_sequence: bool = False
     history_len: int = 50       # reference LIMIT 50 (features.py:74)
+    # candidate scoring mode during TRAINING:
+    #   "joint"       — reference semantics (architecture.py:315-323):
+    #                   attention pools over the (1+neg) slot group, so
+    #                   the MLP path is identical across slots and only
+    #                   the MF path ranks candidates;
+    #   "independent" — eval-consistent per-candidate scoring (the MLP
+    #                   path learns to rank; no train/eval semantics gap)
+    candidate_mode: str = "joint"
 
 
 @dataclass
