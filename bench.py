@@ -119,19 +119,18 @@ def bench_serving_qps():
 
 
 def read_convergence():
-    """Best leave-one-out metrics from the most recent convergence run
-    (scripts/train_ml1m_scale.py), if present."""
-    import os
-    path = "results/ml1m_scale_metrics.jsonl"
-    if not os.path.exists(path):
-        return None
+    """Best leave-one-out metrics across all recorded convergence runs
+    (results/*_metrics.jsonl), if present."""
+    import glob
+
     best = None
-    with open(path) as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec.get("kind") == "val" and "hr@10" in rec:
-                if best is None or rec["hr@10"] > best["hr@10"]:
-                    best = rec
+    for path in glob.glob("results/*_metrics.jsonl"):
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("kind") == "val" and "hr@10" in rec:
+                    if best is None or rec["hr@10"] > best["hr@10"]:
+                        best = rec
     if best is None:
         return None
     return {k: round(best[k], 4) for k in ("hr@10", "ndcg@10", "mrr@10")

@@ -1,3 +1,21 @@
 from ncf_tpu.ops.embedding import embedding_lookup, get_impl, set_impl
+from ncf_tpu.ops.pallas_attention import fused_single_query_attention
+from ncf_tpu.ops.topk import (
+    topk_scores,
+    topk_scores_dense,
+    topk_scores_pallas,
+    topk_scores_segmented,
+    topk_scores_xla,
+)
 
-__all__ = ["embedding_lookup", "get_impl", "set_impl"]
+__all__ = [
+    "embedding_lookup",
+    "get_impl",
+    "set_impl",
+    "fused_single_query_attention",
+    "topk_scores",
+    "topk_scores_dense",
+    "topk_scores_pallas",
+    "topk_scores_segmented",
+    "topk_scores_xla",
+]
