@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ncf_tpu.models.layers import embedding_init
+from ncf_tpu.ops.embedding import embedding_lookup
 
 MAX_PERIOD = 365
 
@@ -63,9 +64,9 @@ def apply(
     result has trailing dim = embed_dim."""
     embed_dim = params["hour"].shape[-1]
     temporal = (
-        jnp.take(params["hour"], hour, axis=0)
-        + jnp.take(params["day"], day, axis=0)
-        + jnp.take(params["month"], month, axis=0)
+        embedding_lookup(params["hour"], hour)
+        + embedding_lookup(params["day"], day)
+        + embedding_lookup(params["month"], month)
     )
     pe = sinusoidal_table(embed_dim)
     seasonal = jnp.take(pe, days_since % MAX_PERIOD, axis=0)

@@ -1,0 +1,177 @@
+"""Pallas embedding-gradient scatter-add: one-hot matmuls into a VMEM
+accumulator.
+
+The backward of an embedding lookup is a scatter-add of N row-gradients
+(duplicate ids allowed) into an [I, D] table gradient — the TorchRec/
+fbgemm backward the reference gets as a CUDA dependency (SURVEY.md §2.8;
+reference Dockerfile:24-28).  XLA's native options (scatter-add,
+sort+segment_sum, one-hot matmul through HBM) all measure ~1.9 ms for
+the ML-1M-scale step's item grads ([81920, 128] into [3706, 128] —
+BENCH_NOTES.md / docs/ROADMAP.md item 1).
+
+This kernel holds the FULL f32 accumulator in VMEM (ML-1M item table
+grad: 3712 x 128 x 4B = 1.9 MB; user table 2.9 MB — both far under the
+16 MB budget), streams the id/grad chunks from HBM exactly once, and
+converts the scatter into MXU work: for each chunk, build the one-hot
+tile [rows_tile, chunk] in registers/VMEM (never HBM) and accumulate
+``acc += onehot @ grads_chunk``.  HBM traffic is therefore the roofline
+minimum (read grads once + write the table grad once).
+
+Precision modes for the matmul operand:
+  - "split" (default): grads are split g = hi + lo with hi = bf16(g),
+    lo = bf16(g - hi); two bf16 MXU matmuls accumulate in f32.  ~16
+    mantissa bits — gradient-exact for training purposes (validated to
+    rtol 2e-6 against XLA's f32 scatter in tests).
+  - "bf16": single matmul on bf16-cast grads (fastest, ~8 mantissa bits).
+  - "f32": single f32 matmul (exact, MXU runs f32 at reduced rate).
+
+Use ``ncf_tpu.ops.embedding.set_scatter_impl("pallas")`` to route every
+``embedding_lookup`` backward through this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 1024       # ids consumed per grid step
+_ROWS_TILE = 512    # accumulator rows per one-hot matmul
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(i_pad: int, mode: str):
+    tiles = []
+    r = 0
+    while r < i_pad:
+        t = min(_ROWS_TILE, i_pad - r)
+        tiles.append((r, t))
+        r += t
+
+    def kernel(ids_ref, g_ref, out_ref, acc_ref):
+        nc = pl.program_id(0)
+
+        @pl.when(nc == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        ids = ids_ref[nc, :]                      # [C] int32
+        g = g_ref[:]                              # [C, D] f32
+
+        if mode == "split":
+            g_hi = g.astype(jnp.bfloat16)
+            g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            operands = (g_hi, g_lo)
+            oh_dtype = jnp.bfloat16
+        elif mode == "bf16":
+            operands = (g.astype(jnp.bfloat16),)
+            oh_dtype = jnp.bfloat16
+        elif mode == "f32":
+            operands = (g,)
+            oh_dtype = jnp.float32
+        else:  # pragma: no cover
+            raise ValueError(f"unknown scatter mode {mode!r}")
+
+        c = ids.shape[0]
+        for row0, rows in tiles:
+            row_ids = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, c), 0)
+            onehot = (row_ids == ids[None, :]).astype(oh_dtype)
+            update = jnp.dot(onehot, operands[0],
+                             preferred_element_type=jnp.float32)
+            for op in operands[1:]:
+                update = update + jnp.dot(
+                    onehot, op, preferred_element_type=jnp.float32)
+            acc_ref[row0:row0 + rows, :] += update
+
+        @pl.when(nc == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_rows", "mode", "interpret"))
+def _scatter_add(ids: jax.Array, grads: jax.Array, num_rows: int,
+                 mode: str = "split", interpret: bool = False) -> jax.Array:
+    n = ids.shape[0]
+    d = grads.shape[1]
+    n_pad = _round_up(max(n, _CHUNK), _CHUNK)
+    i_pad = _round_up(num_rows, 128)
+
+    # pad ids with -1 (matches no row) and grads with zeros
+    ids_p = jnp.pad(ids.astype(jnp.int32), (0, n_pad - n),
+                    constant_values=-1)
+    grads_p = (grads.astype(jnp.float32) if n_pad == n
+               else jnp.pad(grads.astype(jnp.float32),
+                            ((0, n_pad - n), (0, 0))))
+    nc = n_pad // _CHUNK
+
+    out = pl.pallas_call(
+        _make_kernel(i_pad, mode),
+        grid=(nc,),
+        in_specs=[
+            # all ids resident (nc x C int32 is small); per-chunk row read
+            pl.BlockSpec((nc, _CHUNK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((i_pad, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((i_pad, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * i_pad * n_pad * d * (2 if mode == "split" else 1),
+            bytes_accessed=n_pad * (4 + 4 * d) + i_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids_p.reshape(nc, _CHUNK), grads_p)
+    return out[:num_rows]
+
+
+def onehot_scatter_add(ids: jax.Array, grads: jax.Array, num_rows: int,
+                       *, mode: str = "split",
+                       interpret: bool = False) -> jax.Array:
+    """Dense table gradient: sum of ``grads`` rows per id.
+
+    ids int[...], grads float[..., D]  ->  f32 [num_rows, D] where
+    ``out[i] = sum over n with ids[n] == i of grads[n]``.
+    Ids outside [0, num_rows) contribute nothing (used for padding).
+    """
+    flat_ids = ids.reshape(-1)
+    flat_g = grads.reshape(-1, grads.shape[-1])
+    return _scatter_add(flat_ids, flat_g, num_rows, mode, interpret)
+
+
+# Heuristic routing: the VMEM-accumulator kernel needs the [I_pad, D]
+# f32 accumulator (plus chunk buffers) to fit on chip, and only beats
+# XLA scatter when there is real MXU work to amortize.
+_VMEM_ACC_BUDGET = 10 * 1024 * 1024
+
+
+def scatter_fits(num_rows: int, d: int, n: int) -> bool:
+    acc_bytes = _round_up(num_rows, 128) * d * 4
+    return (acc_bytes <= _VMEM_ACC_BUDGET
+            and n >= 2048      # below this XLA's scatter is cheap enough
+            and d % 8 == 0)
+
+
+def scatter_preferred(num_rows: int, d: int, n: int) -> bool:
+    """Whether the one-hot kernel is expected to BEAT XLA's scatter.
+
+    The kernel's MXU cost is i_pad * n * d MACs (x2 in split mode) — at
+    ML-1M scale it runs at MXU peak but that peak loses to XLA's scatter
+    for big tables (measured v5e, batch 16k: items [3706,128] XLA 557us
+    vs kernel-split 806us; users [6040,128] 113us vs 266us).  For SMALL
+    tables the matmul is trivial while XLA's collision-serialized
+    scatter still costs ~111us ([24,32] at n=16k) — route those."""
+    return scatter_fits(num_rows, d, n) and _round_up(num_rows, 128) <= 2048

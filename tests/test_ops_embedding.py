@@ -67,3 +67,74 @@ class TestImplDispatch:
         out = embedding_lookup(table, jnp.asarray([2, 0]))
         np.testing.assert_array_equal(np.asarray(out),
                                       [[6, 7, 8], [0, 1, 2]])
+
+
+class TestOnehotScatter:
+    """Parity tests for the Pallas one-hot scatter-add (interpret mode)."""
+
+    def _ref(self, ids, g, num_rows):
+        return jnp.zeros((num_rows, g.shape[-1]), jnp.float32).at[
+            ids.reshape(-1)].add(g.reshape(-1, g.shape[-1]))
+
+    def test_modes_match_xla_scatter(self):
+        from ncf_tpu.ops.pallas_scatter import onehot_scatter_add
+
+        rng = np.random.default_rng(0)
+        for num_rows, n, d in [(300, 5000, 64), (1000, 4096, 128)]:
+            ids = jnp.asarray(rng.integers(0, num_rows, n), jnp.int32)
+            g = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+            ref = self._ref(ids, g, num_rows)
+            scale = float(jnp.max(jnp.abs(ref)))
+            for mode, tol in [("split", 1e-5), ("f32", 1e-6), ("bf16", 2e-2)]:
+                out = onehot_scatter_add(
+                    ids, g, num_rows, mode=mode, interpret=True)
+                err = float(jnp.max(jnp.abs(out - ref))) / scale
+                assert err < tol, (mode, err)
+
+    def test_out_of_range_ids_dropped(self):
+        """Padding ids (-1 / >= num_rows) must contribute nothing."""
+        from ncf_tpu.ops.pallas_scatter import onehot_scatter_add
+
+        ids = jnp.asarray([0, -1, 2, 99], jnp.int32)
+        g = jnp.ones((4, 8), jnp.float32)
+        # n below kernel pad size exercises the wrapper's padding too
+        out = onehot_scatter_add(ids, g, 3, mode="f32", interpret=True)
+        exp = np.zeros((3, 8), np.float32)
+        exp[0] = 1.0
+        exp[2] = 1.0
+        np.testing.assert_array_equal(np.asarray(out), exp)
+
+    def test_nd_ids(self):
+        from ncf_tpu.ops.pallas_scatter import onehot_scatter_add
+
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, 40, (64, 5)), jnp.int32)
+        g = jnp.asarray(rng.normal(size=(64, 5, 16)), jnp.float32)
+        out = onehot_scatter_add(ids, g, 40, mode="f32", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._ref(ids, g, 40)),
+            rtol=1e-6, atol=1e-6)
+
+    def test_scatter_routing_gates(self):
+        from ncf_tpu.ops.pallas_scatter import scatter_fits, scatter_preferred
+
+        assert scatter_fits(3706, 128, 81920)          # items: fits VMEM
+        assert not scatter_preferred(3706, 128, 81920)  # ...but XLA wins
+        assert scatter_preferred(24, 32, 16384)         # temporal: kernel wins
+        assert not scatter_fits(24, 32, 1024)           # too few ids
+        assert not scatter_fits(10_000_000, 128, 81920)  # acc > VMEM
+
+    def test_auto_impl_cpu_falls_back_to_xla(self):
+        """On the CPU test backend auto must not route through Mosaic."""
+        from ncf_tpu.ops import embedding
+
+        assert embedding.get_scatter_impl() == "auto"
+        table = jnp.asarray(np.random.default_rng(2).normal(size=(24, 32)),
+                            jnp.float32)
+        ids = jnp.asarray(np.arange(4096) % 24, jnp.int32)
+
+        def loss(t):
+            return (embedding_lookup(t, ids) ** 2).sum()
+
+        grad = jax.grad(loss)(table)  # would crash if Mosaic were used
+        assert grad.shape == table.shape
