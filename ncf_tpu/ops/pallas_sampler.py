@@ -1,0 +1,175 @@
+"""Pallas fused negative-sampling kernel: inverse-CDF tree descent +
+rejection, entirely in VMEM.
+
+The device-side sampler (ncf_tpu/data/sampler.py) draws weighted
+negatives by descending a 128-ary tree of CDF levels.  In XLA that
+descent materializes a [draws, 128] gathered-boundary tensor in HBM per
+level (~67 MB at batch 16k x 4 negatives x 2 rounds) plus two
+compare-count passes — ~0.48 ms/step of pure HBM traffic on v5e
+(profiled: fusion.1 + convert_reduce fusions).
+
+Here the whole CDF tree lives in VMEM (3706 items = 15 KB; gate is
+items <= ~32k) and each grid step processes a chunk of draws laid out
+**draws-on-lanes**: tree boundaries sit on sublanes, so
+
+  1. root count:   cnt[t] = #{j : root[j] <= u[t]}   — a [128, CH]
+                   compare + SUBLANE-sum (the cheap reduction axis)
+  2. per level:    row "gather" as a one-hot MXU matmul
+                   vals = level^T [128, rows] @ onehot [rows, CH]
+                   cnt  = cnt*128 + #{j : vals[j, t] <= u[t]}
+  3. rejection:    keep the first of ``num_rounds`` candidate draws that
+                   differs from the row's positive (where-chain).
+
+The draws-on-lanes layout measured 6.4x faster than the equivalent
+rounds-on-sublanes formulation (0.053 vs 0.341 ms at batch 16k x 4 negs
+x 2 rounds on v5e) — sublane reductions and lane-broadcast compares are
+the fast axes on the VPU.  Levels are padded with a finite sentinel
+(2.0 > any u) rather than +inf so 0 x pad in the matmul cannot produce
+NaN.
+
+Given the same uniforms, output is bit-identical to the XLA path
+(sampler._inverse_cdf + where-chain rejection) — tested in interpret
+mode against it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FANOUT = 128
+_CHUNK = 8192            # candidate slots per grid step (x rounds draws)
+_PAD_VALUE = 2.0         # > any u in [0, 1); finite so 0*pad != NaN
+_MAX_LEVEL_ROWS = 256    # one-hot width gate: items <= 256*128 = 32768
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_cdf_tree(cdf: jax.Array, pad_value: float = _PAD_VALUE):
+    """Split a [num_items] CDF into (root [128], levels top-down), each
+    level [rows, 128] holding the CDF entries of that depth; upper levels
+    are block maxima of the one below (same construction as
+    sampler._inverse_cdf, reference of the semantics)."""
+    levels = []
+    level = cdf
+    while level.shape[0] > _FANOUT:
+        n = _round_up(level.shape[0], _FANOUT)
+        level = jnp.pad(level, (0, n - level.shape[0]),
+                        constant_values=pad_value)
+        levels.append(level.reshape(-1, _FANOUT))
+        level = level.reshape(-1, _FANOUT)[:, -1]
+    root = jnp.pad(level, (0, _FANOUT - level.shape[0]),
+                   constant_values=pad_value)
+    return root, levels[::-1]      # top-down for descent
+
+
+def tree_sampler_fits(num_items: int) -> bool:
+    """Whether the kernel supports this vocabulary size (every level's
+    one-hot stays narrow enough to live in VMEM)."""
+    rows = _round_up(num_items, _FANOUT) // _FANOUT
+    while rows > 1:
+        if rows > _MAX_LEVEL_ROWS:
+            return False
+        rows = _round_up(rows, _FANOUT) // _FANOUT
+    return num_items > _FANOUT     # tiny vocabs: flat XLA path is free
+
+
+def _make_kernel(num_rounds: int, num_items: int, level_rows: tuple):
+    def kernel(u_ref, pos_ref, root_ref, *refs):
+        level_refs = refs[:-1]
+        out_ref = refs[-1]
+        rootc = root_ref[:, 0:1]                          # [128, 1]
+        cands = []
+        for r in range(num_rounds):
+            u = u_ref[r:r + 1, :]                         # [1, CH]
+            ind = (rootc <= u).astype(jnp.float32)        # [128, CH]
+            cnt = jnp.sum(ind, axis=0, keepdims=True)     # [1, CH] f32
+            for lref, rows_real in zip(level_refs, level_rows):
+                lvT = lref[:, :]                          # [128, rows_pad]
+                rows_pad = lvT.shape[1]
+                cnt = jnp.minimum(cnt, rows_real - 1)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_pad, u.shape[1]), 0
+                ).astype(jnp.float32)
+                onehot = (iota == cnt).astype(jnp.float32)  # [rows, CH]
+                vals = jnp.dot(lvT, onehot,
+                               preferred_element_type=jnp.float32)
+                within = jnp.sum((vals <= u).astype(jnp.float32),
+                                 axis=0, keepdims=True)
+                cnt = cnt * _FANOUT + within
+            cands.append(
+                jnp.clip(cnt, 0, num_items - 1).astype(jnp.int32))
+        p = pos_ref[0:1, :]
+        pick = cands[num_rounds - 1]
+        for r in range(num_rounds - 2, -1, -1):
+            pick = jnp.where(cands[r] != p, cands[r], pick)
+        out_ref[:, :] = pick
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_items", "interpret"))
+def _tree_sample(u: jax.Array, pos: jax.Array, cdf: jax.Array,
+                 num_items: int, interpret: bool = False) -> jax.Array:
+    """u f32 [R, N], pos int32 [N] -> int32 [N] rejection-picked draws."""
+    R, N = u.shape
+    n_pad = _round_up(N, _CHUNK)
+    u_p = jnp.pad(u, ((0, 0), (0, n_pad - N)))
+    pos_p = jnp.pad(pos.astype(jnp.int32), (0, n_pad - N))[None, :]
+
+    root, levels = build_cdf_tree(cdf)
+    level_rows = tuple(lv.shape[0] for lv in levels)
+    # transpose: boundaries on sublanes, tree rows on lanes (pad to x8)
+    levels_t = [
+        jnp.pad(lv, ((0, _round_up(lv.shape[0], 8) - lv.shape[0]), (0, 0)),
+                constant_values=_PAD_VALUE).T
+        for lv in levels
+    ]
+    nc = n_pad // _CHUNK
+
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_kernel(R, num_items, level_rows),
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((R, _CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            full(_FANOUT, 1),
+            *[full(*lv.shape) for lv in levels_t],
+        ],
+        out_specs=pl.BlockSpec((1, _CHUNK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        interpret=interpret,
+    )(u_p, pos_p, root[:, None], *levels_t)
+    return out[0, :N]
+
+
+def tree_sample_negatives(u: jax.Array, pos_items: jax.Array,
+                          cdf: jax.Array, num_items: int,
+                          interpret: bool = False) -> jax.Array:
+    """Fused draw+reject: u f32 [R, B, NEG] or pre-flattened [R, B*NEG],
+    pos_items int32 [B] -> int32 [B, NEG] negatives (first non-colliding
+    round per slot, falling back to the last round's draw).
+
+    Prefer passing u pre-flattened as [R, B*NEG]: the [R, B, NEG] ->
+    [R, B*NEG] relayout of the uniforms costs ~22 us/step at batch 16k
+    when done here."""
+    if u.ndim == 3:
+        R, B, NEG = u.shape
+        u = u.reshape(R, B * NEG)
+    else:
+        B = pos_items.shape[0]
+        NEG = u.shape[1] // B
+    pos_bn = jnp.broadcast_to(pos_items[:, None], (B, NEG)).reshape(-1)
+    picked = _tree_sample(u, pos_bn, cdf, num_items, interpret=interpret)
+    return picked.reshape(B, NEG)

@@ -96,3 +96,65 @@ class TestHostEvalSampler:
         out = padded_histories(offsets, items, np.array([0, 1]), max_len=4)
         np.testing.assert_array_equal(out[0], [4, 7, -1, -1])
         np.testing.assert_array_equal(out[1], [1, -1, -1, -1])
+
+
+class TestPallasTreeSampler:
+    """The fused Pallas sampler must be bit-identical to the XLA tree
+    descent + where-chain rejection given the same uniforms."""
+
+    def _xla_reference(self, u, pos, cdf):
+        import jax.numpy as jnp
+
+        from ncf_tpu.data.sampler import _inverse_cdf
+
+        R = u.shape[0]
+        cands = _inverse_cdf(cdf, u)
+        ok = cands != pos[None, :, None]
+        pick = cands[R - 1]
+        for r in range(R - 2, -1, -1):
+            pick = jnp.where(ok[r], cands[r], pick)
+        return pick
+
+    def test_bit_identical_to_xla_path(self):
+        import jax.numpy as jnp
+
+        from ncf_tpu.data.sampler import make_sampling_cdf
+        from ncf_tpu.ops.pallas_sampler import (
+            tree_sample_negatives, tree_sampler_fits)
+
+        rng = np.random.default_rng(0)
+        for num_items, R in [(3706, 2), (16384, 3), (600, 2)]:
+            assert tree_sampler_fits(num_items)
+            B, NEG = 512, 4
+            w = 1.0 / rng.zipf(1.3, num_items).astype(np.float64)
+            cdf = make_sampling_cdf(w)
+            u = jnp.asarray(rng.random((R, B, NEG)), jnp.float32)
+            pos = jnp.asarray(rng.integers(0, num_items, B), jnp.int32)
+            ref = self._xla_reference(u, pos, cdf)
+            out = tree_sample_negatives(u, pos, cdf, num_items,
+                                        interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_fits_gate(self):
+        from ncf_tpu.ops.pallas_sampler import tree_sampler_fits
+
+        assert not tree_sampler_fits(100)          # flat XLA path is free
+        assert tree_sampler_fits(3706)
+        assert tree_sampler_fits(32768)
+        assert not tree_sampler_fits(100_000)      # one-hot too wide
+
+    def test_flattened_uniforms_accepted(self):
+        import jax.numpy as jnp
+
+        from ncf_tpu.data.sampler import make_sampling_cdf
+        from ncf_tpu.ops.pallas_sampler import tree_sample_negatives
+
+        rng = np.random.default_rng(1)
+        num_items, B, NEG, R = 3000, 64, 4, 2
+        cdf = make_sampling_cdf(np.ones(num_items))
+        u = jnp.asarray(rng.random((R, B, NEG)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, num_items, B), jnp.int32)
+        a = tree_sample_negatives(u, pos, cdf, num_items, interpret=True)
+        b = tree_sample_negatives(u.reshape(R, B * NEG), pos, cdf,
+                                  num_items, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
