@@ -38,14 +38,15 @@ import numpy as np
 NUM_USERS = 6040
 NUM_ITEMS = 3706
 BATCH = 16384
-WARMUP = 10
-STEPS = 50
+STEPS_PER_DISPATCH = 8   # lax.scan steps per device call (train config knob)
+WARMUP = 2               # dispatches
+STEPS = 8                # dispatches (x STEPS_PER_DISPATCH optimizer steps)
 
 
-def build():
+def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
     from ncf_tpu.models import get_model
     from ncf_tpu.train.optim import make_optimizer
-    from ncf_tpu.train.step import make_train_step
+    from ncf_tpu.train.step import make_multi_train_step, make_train_step
     from ncf_tpu.utils.config import Config
 
     cfg = Config()
@@ -55,6 +56,7 @@ def build():
     cfg.model.num_categories = 30
     cfg.model.compute_dtype = "bfloat16"
     cfg.train.batch_size = BATCH
+    cfg.train.steps_per_dispatch = steps_per_dispatch
 
     model = get_model("advanced_ncf")
     params = model.init(jax.random.PRNGKey(0), cfg.model)
@@ -68,17 +70,24 @@ def build():
     from ncf_tpu.data.sampler import make_sampling_cdf
     neg_cdf = make_sampling_cdf(1.0 / counts)
 
-    train_step = make_train_step(model, cfg, optimizer, neg_cdf, item_dept, item_cat)
+    if steps_per_dispatch > 1:
+        train_step = make_multi_train_step(
+            model, cfg, optimizer, neg_cdf, item_dept, item_cat)
+        lead = (steps_per_dispatch, BATCH)
+    else:
+        train_step = make_train_step(
+            model, cfg, optimizer, neg_cdf, item_dept, item_cat)
+        lead = (BATCH,)
 
     batch = {
         "user_ids": jnp.asarray(
-            rng_np.integers(0, NUM_USERS, BATCH), jnp.int32),
+            rng_np.integers(0, NUM_USERS, lead), jnp.int32),
         "item_ids": jnp.asarray(
-            rng_np.integers(0, NUM_ITEMS, BATCH), jnp.int32),
-        "hour": jnp.asarray(rng_np.integers(0, 24, BATCH), jnp.int32),
-        "day": jnp.asarray(rng_np.integers(0, 7, BATCH), jnp.int32),
-        "month": jnp.asarray(rng_np.integers(0, 12, BATCH), jnp.int32),
-        "day_of_year": jnp.asarray(rng_np.integers(0, 365, BATCH), jnp.int32),
+            rng_np.integers(0, NUM_ITEMS, lead), jnp.int32),
+        "hour": jnp.asarray(rng_np.integers(0, 24, lead), jnp.int32),
+        "day": jnp.asarray(rng_np.integers(0, 7, lead), jnp.int32),
+        "month": jnp.asarray(rng_np.integers(0, 12, lead), jnp.int32),
+        "day_of_year": jnp.asarray(rng_np.integers(0, 365, lead), jnp.int32),
     }
     return train_step, params, opt_state, batch
 
@@ -152,7 +161,7 @@ def main():
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    examples_per_s = STEPS * BATCH / dt
+    examples_per_s = STEPS * STEPS_PER_DISPATCH * BATCH / dt
     per_chip = examples_per_s / max(1, n_chips)
 
     try:
@@ -163,7 +172,8 @@ def main():
     detail = {
         "batch_size": BATCH,
         "steps": STEPS,
-        "step_ms": round(1000 * dt / STEPS, 3),
+        "step_ms": round(1000 * dt / (STEPS * STEPS_PER_DISPATCH), 3),
+        "steps_per_dispatch": STEPS_PER_DISPATCH,
         "chips": n_chips,
         "device": str(jax.devices()[0]),
         "candidates_scored_per_sec": round(examples_per_s * 5, 1),

@@ -1,5 +1,6 @@
 from ncf_tpu.data.interactions import Interactions, SECONDS_PER_DAY
-from ncf_tpu.data.pipeline import BatchIterator, prefetch_to_device
+from ncf_tpu.data.pipeline import (BatchIterator, group_batches,
+                                   prefetch_to_device)
 from ncf_tpu.data.sampler import (
     padded_histories,
     sample_eval_negatives,
@@ -12,6 +13,7 @@ __all__ = [
     "SECONDS_PER_DAY",
     "BatchIterator",
     "prefetch_to_device",
+    "group_batches",
     "sample_negatives",
     "sample_eval_negatives",
     "padded_histories",

@@ -110,3 +110,22 @@ def prefetch_to_device(iterator: Iterator[Batch], size: int = 2,
             yield queue.popleft()
     while queue:
         yield queue.popleft()
+
+
+def group_batches(iterator: Iterator[Batch], k: int) -> Iterator[Batch]:
+    """Stack ``k`` consecutive host batches into [k, B] arrays for
+    multi-step dispatch (train.step.make_multi_train_step).  A ragged
+    final group is stacked at its own leading size — at most one extra
+    executable, compiled once per size."""
+    buf: list = []
+
+    def flush():
+        return {key: np.stack([b[key] for b in buf]) for key in buf[0]}
+
+    for b in iterator:
+        buf.append(b)
+        if len(buf) == k:
+            yield flush()
+            buf = []
+    if buf:
+        yield flush()

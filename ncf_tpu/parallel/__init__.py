@@ -10,6 +10,7 @@ from ncf_tpu.parallel.mesh import (
     DCN_AXIS,
     ICI_AXIS,
     batch_sharding,
+    stacked_batch_sharding,
     make_mesh,
     pad_rows,
     param_shardings,
@@ -31,6 +32,7 @@ __all__ = [
     "param_shardings",
     "param_spec",
     "batch_sharding",
+    "stacked_batch_sharding",
     "replicated",
     "shard_pytree",
     "pad_rows",

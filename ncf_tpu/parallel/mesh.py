@@ -84,6 +84,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P((DCN_AXIS, ICI_AXIS)))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Multi-step dispatch batches [K, B]: the scan axis K is replicated,
+    the batch axis B is data-parallel."""
+    return NamedSharding(mesh, P(None, (DCN_AXIS, ICI_AXIS)))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

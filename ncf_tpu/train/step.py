@@ -11,6 +11,7 @@ it into a single executable and the host only feeds int32 id batches.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -47,22 +48,8 @@ def make_loss(name: str):
     raise ValueError(f"unknown loss {name!r}; use 'bce' or 'bpr'")
 
 
-def make_train_step(
-    model,
-    cfg: Config,
-    optimizer: optax.GradientTransformation,
-    neg_cdf: Optional[jax.Array] = None,  # [num_items] sampling CDF (make_sampling_cdf)
-    item_dept: Optional[jax.Array] = None,
-    item_cat: Optional[jax.Array] = None,
-    user_history: Optional[jax.Array] = None,  # int32 [U, H] padded -1
-) -> Callable:
-    """Returns jitted ``train_step(params, opt_state, rng, batch) ->
-    (params, opt_state, rng, metrics)``.
-
-    ``batch``: {user_ids[B], item_ids[B] (positives), hour, day, month,
-    day_of_year — each int32 [B]}.  Negatives are sampled on device from
-    the inverse-popularity distribution (data_prep.py:94-161 equivalents).
-    """
+def _make_loss_fn(model, cfg: Config, neg_cdf, item_dept, item_cat,
+                  user_history):
     mcfg = cfg.model
     S = 1 + mcfg.negative_samples
     loss_impl = make_loss(cfg.train.loss)
@@ -96,7 +83,30 @@ def make_train_step(
         targets = jnp.zeros((pos.shape[0], S), jnp.float32).at[:, 0].set(1.0)
         return loss_impl(logits, targets), (logits, targets)
 
-    @jax.jit
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    neg_cdf: Optional[jax.Array] = None,  # [num_items] sampling CDF (make_sampling_cdf)
+    item_dept: Optional[jax.Array] = None,
+    item_cat: Optional[jax.Array] = None,
+    user_history: Optional[jax.Array] = None,  # int32 [U, H] padded -1
+) -> Callable:
+    """Returns jitted ``train_step(params, opt_state, rng, batch) ->
+    (params, opt_state, rng, metrics)``.
+
+    ``batch``: {user_ids[B], item_ids[B] (positives), hour, day, month,
+    day_of_year — each int32 [B]}.  Negatives are sampled on device from
+    the inverse-popularity distribution (data_prep.py:94-161 equivalents).
+    Params and optimizer state are donated: the update happens in place.
+    """
+    loss_fn = _make_loss_fn(model, cfg, neg_cdf, item_dept, item_cat,
+                            user_history)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rng, batch):
         rng, step_rng = jax.random.split(rng)
         (loss, (logits, targets)), grads = jax.value_and_grad(
@@ -107,6 +117,47 @@ def make_train_step(
         return params, opt_state, rng, metrics
 
     return train_step
+
+
+def make_multi_train_step(
+    model,
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    neg_cdf: Optional[jax.Array] = None,
+    item_dept: Optional[jax.Array] = None,
+    item_cat: Optional[jax.Array] = None,
+    user_history: Optional[jax.Array] = None,
+) -> Callable:
+    """K optimizer steps per dispatch: ``multi_step(params, opt_state,
+    rng, batches)`` where every array in ``batches`` is stacked [K, B].
+
+    A ``lax.scan`` over the single-step body amortizes per-dispatch host
+    latency (measured ~0.5-0.7 ms/call under remote-tunnel setups; still
+    ~50-100 us locally) across K steps — the TPU-native replacement for
+    the reference's per-batch Python loop (trainer.py:234).  Returned
+    metrics are means over the K steps.
+    """
+    loss_fn = _make_loss_fn(model, cfg, neg_cdf, item_dept, item_cat,
+                            user_history)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_train_step(params, opt_state, rng, batches):
+        def body(carry, batch):
+            params, opt_state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            (loss, (logits, targets)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, step_rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {"loss": loss, **accuracy_stats(logits, targets)}
+            return (params, opt_state, rng), metrics
+
+        (params, opt_state, rng), ms = jax.lax.scan(
+            body, (params, opt_state, rng), batches)
+        metrics = jax.tree_util.tree_map(lambda x: x.mean(), ms)
+        return params, opt_state, rng, metrics
+
+    return multi_train_step
 
 
 def make_eval_step(

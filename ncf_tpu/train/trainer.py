@@ -27,7 +27,8 @@ from ncf_tpu.evals.evaluate import EvalSet, evaluate, make_score_fn
 from ncf_tpu.models import get_model
 from ncf_tpu.train import checkpoint as ckpt_lib
 from ncf_tpu.train.optim import make_optimizer
-from ncf_tpu.train.step import make_eval_step, make_train_step
+from ncf_tpu.train.step import (make_eval_step, make_multi_train_step,
+                                make_train_step)
 from ncf_tpu.utils.config import Config
 from ncf_tpu.utils.logging import MetricsLogger
 
@@ -124,9 +125,14 @@ class Trainer:
         if mesh is not None:
             self.rng = jax.device_put(self.rng, replicated(mesh))
 
-        self.train_step = make_train_step(
-            self.model, cfg, self.optimizer, self.neg_cdf,
-            self.item_dept, self.item_cat, self.user_history)
+        if cfg.train.steps_per_dispatch > 1:
+            self.train_step = make_multi_train_step(
+                self.model, cfg, self.optimizer, self.neg_cdf,
+                self.item_dept, self.item_cat, self.user_history)
+        else:
+            self.train_step = make_train_step(
+                self.model, cfg, self.optimizer, self.neg_cdf,
+                self.item_dept, self.item_cat, self.user_history)
         self.eval_step = make_eval_step(
             self.model, cfg, self.neg_cdf, self.item_dept, self.item_cat,
             self.user_history)
@@ -146,13 +152,25 @@ class Trainer:
         n_batches = 0
         t_epoch = time.perf_counter()
         t_window = t_epoch
-        for batch in prefetch_to_device(self.train_iter.epoch(epoch),
-                                        sharding=self.batch_shard):
+        spd = cfg.train.steps_per_dispatch
+        it = self.train_iter.epoch(epoch)
+        shard = self.batch_shard
+        if spd > 1:
+            from ncf_tpu.data.pipeline import group_batches
+
+            it = group_batches(it, spd)
+            if shard is not None:
+                from ncf_tpu.parallel import stacked_batch_sharding
+
+                shard = stacked_batch_sharding(shard.mesh)
+        for batch in prefetch_to_device(it, sharding=shard):
+            k = next(iter(batch.values())).shape[0] if spd > 1 else 1
             self.params, self.opt_state, self.rng, metrics = self.train_step(
                 self.params, self.opt_state, self.rng, batch)
-            n_batches += 1
-            self.global_step += 1
-            if self.global_step % cfg.train.log_every_steps == 0:
+            n_batches += k
+            prev_window = self.global_step // cfg.train.log_every_steps
+            self.global_step += k
+            if self.global_step // cfg.train.log_every_steps != prev_window:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t_window
                 t_window = time.perf_counter()

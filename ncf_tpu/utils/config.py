@@ -80,6 +80,8 @@ class TrainConfig:
     """Training loop settings (reference: config/config.yaml:62-75, trainer.py:27-95)."""
 
     batch_size: int = 256
+    steps_per_dispatch: int = 1         # >1: lax.scan K optimizer steps per
+    #                                     device call (amortizes dispatch)
     loss: str = "bce"                   # bce | bpr (north-star training losses)
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5

@@ -88,3 +88,15 @@ class TestShardedTrainer:
         va = ta.validate(0)["val_loss"]
         vb = tb.validate(0)["val_loss"]
         assert va == pytest.approx(vb, rel=2e-2)
+
+    def test_multi_step_dispatch_on_mesh(self, inter, tmp_path):
+        """steps_per_dispatch > 1 with a mesh: stacked batches keep the
+        scan axis replicated and the batch axis data-parallel."""
+        mesh = make_mesh(dcn=1, ici=8)
+        cfg = cfg_for(tmp_path)
+        cfg.train.steps_per_dispatch = 3
+        t = Trainer(cfg, inter, mesh=mesh)
+        m = t.train_epoch(0)
+        assert t.global_step == len(t.train_iter)
+        val = t.validate(0)
+        assert np.isfinite(val["val_loss"])

@@ -70,3 +70,26 @@ class TestTrainerSmoke:
         cfg = small_cfg(tmp_path / "none", num_epochs=1)
         t = Trainer(cfg, inter)
         assert not t.resume()
+
+
+def test_steps_per_dispatch_multi_step(tiny_interactions, tmp_path):
+    """K-step scan dispatch must train equivalently well (same data
+    order, same per-step rng split chain) and keep step accounting."""
+    from ncf_tpu.train import Trainer
+    from ncf_tpu.utils import Config
+
+    cfg = Config()
+    cfg.model.mf_dim = 8
+    cfg.model.mlp_dim = 8
+    cfg.model.temporal_dim = 4
+    cfg.model.mlp_hidden_dims = [16]
+    cfg.model.compute_dtype = "float32"
+    cfg.train.batch_size = 64
+    cfg.train.num_epochs = 1
+    cfg.train.steps_per_dispatch = 4
+    cfg.train.checkpoint_dir = str(tmp_path / "ck")
+    t = Trainer(cfg, tiny_interactions)
+    m = t.train()
+    assert np.isfinite(m["val_loss"])
+    # global_step must count optimizer steps, not dispatches
+    assert t.global_step == len(t.train_iter)
