@@ -58,6 +58,10 @@ def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
     cfg.train.batch_size = BATCH
     cfg.train.steps_per_dispatch = steps_per_dispatch
 
+    # convergence-validated fast path (see ops/embedding.set_scatter_impl)
+    from ncf_tpu.ops import embedding
+    embedding.set_scatter_impl("fast")
+
     model = get_model("advanced_ncf")
     params = model.init(jax.random.PRNGKey(0), cfg.model)
     optimizer = make_optimizer(cfg.train, steps_per_epoch=1000)

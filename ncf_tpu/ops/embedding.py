@@ -44,13 +44,24 @@ def get_impl() -> str:
 
 
 def set_scatter_impl(impl: str, mode: str = "split") -> None:
+    """impl:
+      - "auto" (default): on TPU, route tables where the kernel beats XLA
+        (small tables); precision per ``mode``.
+      - "fast": on TPU, route every VMEM-fitting table with bf16 matmul
+        operands — validated convergence-neutral at ML-1M scale
+        (results/bf16_scatter_metrics.jsonl vs the XLA control run:
+        hr@10 matches within +-0.0015 at every epoch); ~27% faster steps.
+      - "pallas": force the kernel for every fitting shape (any backend —
+        use for kernel testing).
+      - "xla": native scatter everywhere.
+    """
     global _SCATTER_IMPL, _SCATTER_MODE
-    if impl not in ("auto", "xla", "pallas"):
+    if impl not in ("auto", "xla", "pallas", "fast"):
         raise ValueError(f"unknown scatter impl {impl!r}")
     if mode not in ("split", "bf16", "f32"):
         raise ValueError(f"unknown scatter mode {mode!r}")
     _SCATTER_IMPL = impl
-    _SCATTER_MODE = mode
+    _SCATTER_MODE = "bf16" if impl == "fast" else mode
 
 
 def get_scatter_impl() -> str:
@@ -100,7 +111,7 @@ def _use_pallas_scatter() -> bool:
         return False
     if _SCATTER_IMPL == "pallas":
         return True
-    # auto: the one-hot kernel is TPU-only (Mosaic)
+    # auto/fast: the one-hot kernel is TPU-only (Mosaic)
     return jax.default_backend() == "tpu"
 
 
@@ -113,6 +124,6 @@ def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
     if _use_pallas_scatter():
         fn = _make_pallas_scatter_lookup(
             tuple(table.shape), jnp.dtype(table.dtype).name, _SCATTER_MODE,
-            _SCATTER_IMPL == "pallas")
+            _SCATTER_IMPL in ("pallas", "fast"))
         return fn(table, ids)
     return jnp.take(table, ids, axis=0)

@@ -139,6 +139,75 @@ class AdvancedNCFScorer:
         """Query vectors [B, dmf] for registered user ids."""
         return jnp.take(self.user_queries, user_ids, axis=0)
 
+    # ------------------------------------------------- hourly (demo) path
+
+    def _hour_mod(self, hour: int) -> jax.Array:
+        """forward_simple's multiplicative hour modulation
+        ``1 + 0.3 * proj(hour_emb)`` [dmf] (reference
+        architecture.py:433-456).  The modulation is rank-1 over items
+        (items share the per-hour vector), so scoring folds it into the
+        QUERY side — q . (v o m) == (q o m) . v — and no per-hour item
+        tables are needed (roadmap #8 done one better)."""
+        key = ("hour_mod", hour)
+        if key not in self._bias_cache:
+            p = self.params
+            hour_e = p["temporal"]["hour"][hour][None, :]
+            self._bias_cache[key] = (
+                1.0 + 0.3 * dense(p["temporal_proj"], hour_e))[0]
+        return self._bias_cache[key]
+
+    def _hourly_item_bias(self, hour: int) -> jax.Array:
+        """Per-item MLP-path logit under score_items_with_hour semantics:
+        item_mlp modulated by the hour vector, t_vec = raw hour embedding
+        (NOT the summed temporal encoding) — mirrors
+        models.advanced_ncf.score_items_with_hour exactly."""
+        key = ("hour_bias", hour)
+        if key in self._bias_cache:
+            return self._bias_cache[key]
+        cfg, params = self.cfg, self.params
+        dtype = jnp.dtype(cfg.compute_dtype)
+        I = cfg.num_items
+        item_mlp = layer_norm(params["mlp_norm"],
+                              params["item_emb"][:, cfg.mf_dim:])
+        item_mlp = item_mlp * self._hour_mod(hour)[None, :]
+        attn = advanced_ncf._singleton_attention(
+            params["attn"], item_mlp.astype(dtype), dtype)
+        t_vec = jnp.broadcast_to(
+            params["temporal"]["hour"][hour][None, :],
+            (I, cfg.temporal_dim))
+        combined = jnp.concatenate(
+            [attn.astype(dtype), t_vec.astype(dtype)], axis=-1)
+        mlp_vec = mlp_tower(params["mlp"], combined, dtype=dtype)
+        mlp_pred = dense(params["mlp_out"], mlp_vec)[:, 0]
+        if len(self._bias_cache) >= self._bias_cache_size:
+            self._bias_cache.pop(next(iter(self._bias_cache)))
+        self._bias_cache[key] = (
+            self._wf1 * self._bmf + self._wf2 * mlp_pred + self._bf)
+        return self._bias_cache[key]
+
+    def topk_for_users_hourly(
+        self,
+        user_ids,
+        hour: int,
+        k: int = 10,
+        exclude: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k under the demo's hour-of-day scoring
+        (score_items_with_hour / reference forward_simple +
+        demo/app.py:43-77) as a retrieval-class query: hour folds into
+        the query vector + a cached per-hour item bias."""
+        user_ids = jnp.asarray(user_ids, jnp.int32)
+        q = self.user_query(user_ids) * self._hour_mod(hour)[None, :]
+        bias = self._hourly_item_bias(hour)
+        fetch = k if exclude is None else min(
+            self.cfg.num_items, k + exclude.shape[1])
+        vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
+                                 impl=self.impl)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        if exclude is not None:
+            vals, idxs = _filter_excluded(vals, idxs, exclude, k)
+        return _sigmoid(vals), idxs
+
     def topk_for_users(
         self,
         user_ids,

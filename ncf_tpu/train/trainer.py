@@ -125,6 +125,13 @@ class Trainer:
         if mesh is not None:
             self.rng = jax.device_put(self.rng, replicated(mesh))
 
+        from ncf_tpu.ops import embedding as embedding_ops
+
+        embedding_ops.set_scatter_impl(
+            *{"fast": ("fast", "bf16"),
+              "exact": ("auto", "split"),
+              "xla": ("xla", "split")}[cfg.train.embedding_scatter])
+
         if cfg.train.steps_per_dispatch > 1:
             self.train_step = make_multi_train_step(
                 self.model, cfg, self.optimizer, self.neg_cdf,
@@ -224,6 +231,10 @@ class Trainer:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.train.num_epochs
         patience = cfg.train.early_stopping_patience
+        metric = cfg.train.early_stopping_metric
+        # val_loss is minimized (reference convention, trainer.py:478);
+        # ranking metrics (hr@k / ndcg@k / mrr@k / map@k) are maximized
+        maximize = metric != "val_loss"
         bad_epochs = 0
         try:
             for epoch in range(self.start_epoch, num_epochs):
@@ -236,8 +247,15 @@ class Trainer:
                         "epoch %d val_loss=%.4f hr@10=%.4f ndcg@10=%.4f",
                         epoch, val_m["val_loss"], val_m["hr@10"], val_m["ndcg@10"])
                     ckpt_dir = self.save_checkpoint(epoch, val_m)
-                    if val_m["val_loss"] < self.best_val:
-                        self.best_val = val_m["val_loss"]
+                    score = val_m[metric]
+                    if maximize:
+                        improved = score > -self.best_val
+                    else:
+                        improved = score < self.best_val
+                    if improved:
+                        # stored negated for maximized metrics so that
+                        # "smaller best_val is better" stays invariant
+                        self.best_val = -score if maximize else score
                         self.best_metrics = {**val_m, "epoch": epoch}
                         ckpt_lib.mark_best(cfg.train.checkpoint_dir, ckpt_dir)
                         bad_epochs = 0

@@ -87,9 +87,18 @@ class TrainConfig:
     weight_decay: float = 1e-5
     num_epochs: int = 50
     early_stopping_patience: int = 5
+    early_stopping_metric: str = "val_loss"  # val_loss (min) or any ranking
+    #                                          metric to maximize, e.g. hr@10:
+    #                                          on the convergence runs hr@10
+    #                                          kept improving ~8 epochs after
+    #                                          val_loss bottomed
     gradient_clip_norm: float = 5.0
     lr_schedule: str = "constant"       # constant | cosine
     warmup_steps: int = 0
+    embedding_scatter: str = "fast"     # fast (Pallas bf16 grads, TPU-only,
+    #                                     convergence-validated) | exact
+    #                                     (Pallas split for small tables
+    #                                     only) | xla
     seed: int = 0
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"

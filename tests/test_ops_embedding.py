@@ -124,11 +124,11 @@ class TestOnehotScatter:
         assert not scatter_fits(24, 32, 1024)           # too few ids
         assert not scatter_fits(10_000_000, 128, 81920)  # acc > VMEM
 
-    def test_auto_impl_cpu_falls_back_to_xla(self):
-        """On the CPU test backend auto must not route through Mosaic."""
+    def test_auto_and_fast_impls_cpu_fall_back_to_xla(self):
+        """On the CPU test backend auto/fast must not route through
+        Mosaic (the one-hot kernel is TPU-only)."""
         from ncf_tpu.ops import embedding
 
-        assert embedding.get_scatter_impl() == "auto"
         table = jnp.asarray(np.random.default_rng(2).normal(size=(24, 32)),
                             jnp.float32)
         ids = jnp.asarray(np.arange(4096) % 24, jnp.int32)
@@ -136,5 +136,11 @@ class TestOnehotScatter:
         def loss(t):
             return (embedding_lookup(t, ids) ** 2).sum()
 
-        grad = jax.grad(loss)(table)  # would crash if Mosaic were used
-        assert grad.shape == table.shape
+        orig = embedding.get_scatter_impl()
+        try:
+            for impl in ("auto", "fast"):
+                embedding.set_scatter_impl(impl)
+                grad = jax.grad(loss)(table)  # crashes if Mosaic is used
+                assert grad.shape == table.shape
+        finally:
+            embedding.set_scatter_impl(orig)

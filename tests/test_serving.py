@@ -267,3 +267,34 @@ class TestExport:
         search = ProductSearch(mat, ids=ids, metric="cosine")
         res = search.find_neighbors(mat[5], num_neighbors=2)
         assert res[0][0][0] == "5"
+
+
+class TestHourlyScorer:
+    def test_hourly_topk_matches_score_items_with_hour(self, setup):
+        """topk_for_users_hourly must reproduce the demo scoring path
+        (score_items_with_hour) exactly: the hour modulation folds into
+        the query, the MLP path into a per-hour bias (roadmap #8)."""
+        inter, cfg, params = setup
+        scorer = AdvancedNCFScorer(params, cfg.model, impl="xla")
+        I = cfg.model.num_items
+        users = jnp.asarray([0, 5, 11], jnp.int32)
+        for hour in (0, 13, 23):
+            probs, idxs = scorer.topk_for_users_hourly(users, hour, k=I)
+            for r, u in enumerate(np.asarray(users)):
+                dense_scores = advanced_ncf.score_items_with_hour(
+                    params, cfg.model,
+                    jnp.full((I,), u, jnp.int32),
+                    jnp.arange(I, dtype=jnp.int32),
+                    jnp.full((I,), hour, jnp.int32))
+                np.testing.assert_allclose(
+                    np.sort(probs[r])[::-1], np.sort(np.asarray(dense_scores))[::-1],
+                    rtol=1e-4, atol=1e-5)
+                # top item agrees
+                assert idxs[r, 0] == int(jnp.argmax(dense_scores))
+
+    def test_hour_bias_cached(self, setup):
+        inter, cfg, params = setup
+        scorer = AdvancedNCFScorer(params, cfg.model, impl="xla")
+        scorer.topk_for_users_hourly(jnp.asarray([0], jnp.int32), 7, k=5)
+        assert ("hour_bias", 7) in scorer._bias_cache
+        assert ("hour_mod", 7) in scorer._bias_cache

@@ -93,3 +93,39 @@ def test_steps_per_dispatch_multi_step(tiny_interactions, tmp_path):
     assert np.isfinite(m["val_loss"])
     # global_step must count optimizer steps, not dispatches
     assert t.global_step == len(t.train_iter)
+
+
+def test_early_stopping_metric_hr10(tiny_interactions, tmp_path):
+    """early_stopping_metric=hr@10 maximizes hr@10 and stops after
+    `patience` non-improving epochs (roadmap #6)."""
+    from ncf_tpu.train import Trainer
+    from ncf_tpu.utils import Config
+
+    cfg = Config()
+    cfg.model.mf_dim = 8
+    cfg.model.mlp_dim = 8
+    cfg.model.temporal_dim = 4
+    cfg.model.mlp_hidden_dims = [16]
+    cfg.model.compute_dtype = "float32"
+    cfg.train.batch_size = 64
+    cfg.train.num_epochs = 10
+    cfg.train.early_stopping_metric = "hr@10"
+    cfg.train.early_stopping_patience = 2
+    cfg.train.checkpoint_dir = str(tmp_path / "ck")
+    t = Trainer(cfg, tiny_interactions)
+
+    # scripted validation: hr@10 peaks at epoch 2, val_loss keeps falling
+    # (val_loss-based stopping would never trigger)
+    script = [0.10, 0.30, 0.50, 0.40, 0.45, 0.20, 0.20, 0.2, 0.2, 0.2]
+    calls = []
+
+    def fake_validate(epoch):
+        calls.append(epoch)
+        return {"val_loss": 1.0 / (epoch + 2), "hr@10": script[epoch],
+                "ndcg@10": 0.0}
+
+    t.validate = fake_validate
+    best = t.train()
+    assert best["hr@10"] == 0.50 and best["epoch"] == 2
+    # stopped after 2 bad epochs following the peak: epochs 0..4 evaluated
+    assert calls == [0, 1, 2, 3, 4]
