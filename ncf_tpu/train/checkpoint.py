@@ -55,6 +55,27 @@ def _leaf_filename(path_s: str) -> str:
     return path_s.replace("/", "_") + ".npy"
 
 
+_ORBAX_CKPTR = None   # lazily-created (Async)Checkpointer singleton
+
+
+def _orbax_checkpointer(async_save: bool):
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        handler = ocp.StandardCheckpointHandler()
+        _ORBAX_CKPTR = (ocp.AsyncCheckpointer(handler) if async_save
+                        else ocp.Checkpointer(handler))
+    return _ORBAX_CKPTR
+
+
+def wait_for_pending() -> None:
+    """Block until any in-flight async (orbax) save has committed.  Call
+    before reading a just-written checkpoint or at end of training."""
+    if _ORBAX_CKPTR is not None and hasattr(_ORBAX_CKPTR, "wait_until_finished"):
+        _ORBAX_CKPTR.wait_until_finished()
+
+
 def save(
     directory: str,
     pytree: Any,
@@ -63,16 +84,46 @@ def save(
     metrics: Optional[Dict[str, float]] = None,
     config: Optional[Dict[str, Any]] = None,
     process_index: Optional[int] = None,
+    backend: str = "native",
+    async_save: bool = False,
 ) -> str:
     """Write ``pytree`` under ``directory/ckpt_{step:08d}``.
 
-    For fully-addressable arrays the whole leaf is written; for arrays
-    sharded over a multi-host mesh, only this process's addressable shards
-    are written, with (index-offset, global-shape) metadata recorded.
+    backend "native": one ``.npy`` per pytree leaf + manifest (see module
+    docstring).  For fully-addressable arrays the whole leaf is written;
+    for arrays sharded over a multi-host mesh, only this process's
+    addressable shards are written, with (index-offset, global-shape)
+    metadata recorded.
+
+    backend "orbax": leaves stored by orbax's StandardCheckpointHandler
+    under ``ckpt_dir/state`` (optionally async — roadmap #10); manifest,
+    discovery, best-marking and GC stay identical across backends.
     """
     proc = jax.process_index() if process_index is None else process_index
     ckpt_dir = os.path.join(directory, f"ckpt_{step:08d}")
     os.makedirs(ckpt_dir, exist_ok=True)
+
+    if backend == "orbax":
+        ckptr = _orbax_checkpointer(async_save)
+        wait_for_pending()       # one in-flight save at a time
+        state_dir = os.path.join(os.path.abspath(ckpt_dir), "state")
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        ckptr.save(state_dir, pytree)
+        manifest = {
+            "step": int(step),
+            "epoch": int(epoch),
+            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+            "config": config or {},
+            "backend": "orbax",
+            "format_version": 1,
+        }
+        if proc == 0:
+            with open(os.path.join(ckpt_dir, MANIFEST), "w") as f:
+                json.dump(manifest, f, indent=1)
+        log.info("checkpoint saved (orbax%s): %s",
+                 " async" if async_save else "", ckpt_dir)
+        return ckpt_dir
 
     leaves = jax.tree_util.tree_flatten_with_path(pytree)[0]
     leaf_meta: Dict[str, Dict[str, Any]] = {}
@@ -132,6 +183,14 @@ def restore(ckpt_dir: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
     — silent shape corruption is how sharded checkpoints rot)."""
     with open(os.path.join(ckpt_dir, MANIFEST)) as f:
         manifest = json.load(f)
+
+    if manifest.get("backend") == "orbax":
+        wait_for_pending()
+        ckptr = _orbax_checkpointer(False)
+        state = ckptr.restore(
+            os.path.join(os.path.abspath(ckpt_dir), "state"), template)
+        return state, manifest
+
     leaf_meta = manifest["leaves"]
 
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)

@@ -272,6 +272,8 @@ class Trainer:
             log.exception("training failed; writing emergency checkpoint")
             self.save_checkpoint(epoch=-1, metrics={"emergency": 1.0})
             raise
+        finally:
+            ckpt_lib.wait_for_pending()   # commit in-flight async saves
         return self.best_metrics or {"val_loss": self.best_val}
 
     # ---------------------------------------------------------- checkpoints
@@ -280,11 +282,14 @@ class Trainer:
         return {"params": self.params, "opt_state": self.opt_state}
 
     def save_checkpoint(self, epoch: int, metrics: Dict[str, float]) -> str:
+        be = self.cfg.train.checkpoint_backend
         path = ckpt_lib.save(
             self.cfg.train.checkpoint_dir, self._state(),
             step=self.global_step, epoch=epoch,
             metrics={k: v for k, v in metrics.items() if isinstance(v, (int, float))},
-            config=self.cfg.to_dict())
+            config=self.cfg.to_dict(),
+            backend="orbax" if be.startswith("orbax") else "native",
+            async_save=be == "orbax_async")
         ckpt_lib.garbage_collect(
             self.cfg.train.checkpoint_dir, self.cfg.train.keep_checkpoints)
         return path

@@ -102,6 +102,7 @@ class TrainConfig:
     seed: int = 0
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"
+    checkpoint_backend: str = "native"  # native | orbax | orbax_async
     keep_checkpoints: int = 3
     log_every_steps: int = 100
     metrics_file: str = ""              # JSONL metrics sink ("" = disabled)

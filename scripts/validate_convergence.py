@@ -39,6 +39,9 @@ def main():
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument("--loss", default="bce", choices=["bce", "bpr"])
+    ap.add_argument("--early-stopping-metric", default="val_loss")
+    ap.add_argument("--patience", type=int, default=8)
     ap.add_argument("--metrics-file", required=True)
     ap.add_argument("--checkpoint-dir", default="")
     args = ap.parse_args()
@@ -63,7 +66,9 @@ def main():
     cfg.train.learning_rate = 1e-3
     cfg.train.weight_decay = 1e-5
     cfg.train.num_epochs = args.epochs
-    cfg.train.early_stopping_patience = 8
+    cfg.train.loss = args.loss
+    cfg.train.early_stopping_patience = args.patience
+    cfg.train.early_stopping_metric = args.early_stopping_metric
     cfg.train.lr_schedule = "cosine"
     cfg.train.checkpoint_dir = (args.checkpoint_dir
                                 or "/tmp/validate_convergence_ckpt")

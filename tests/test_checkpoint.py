@@ -81,3 +81,67 @@ class TestConsolidate:
         for a, b in zip(jax.tree_util.tree_leaves(state),
                         jax.tree_util.tree_leaves(restored)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestOrbaxBackend:
+    """Orbax leaf storage behind the same manifest/discovery layout
+    (roadmap #10)."""
+
+    def _state(self):
+        import jax.numpy as jnp
+
+        return {"params": {"w": jnp.arange(12.0).reshape(3, 4),
+                           "b": jnp.ones((4,))},
+                "opt": {"count": jnp.asarray(7, jnp.int32)}}
+
+    def test_save_restore_roundtrip(self, tmp_path):
+        import jax
+
+        from ncf_tpu.train import checkpoint as ck
+
+        state = self._state()
+        p = ck.save(str(tmp_path), state, step=5, epoch=1,
+                    metrics={"hr@10": 0.5}, backend="orbax")
+        tmpl = jax.tree_util.tree_map(lambda x: x * 0, state)
+        got, man = ck.restore(p, tmpl)
+        assert man["backend"] == "orbax" and man["step"] == 5
+        np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                      np.asarray(state["params"]["w"]))
+        assert int(got["opt"]["count"]) == 7
+        # discovery / best-marking work unchanged
+        assert ck.find_latest(str(tmp_path)) == p
+        ck.mark_best(str(tmp_path), p)
+        assert ck.find_best(str(tmp_path)) == p
+
+    def test_async_save_commits(self, tmp_path):
+        import jax
+
+        from ncf_tpu.train import checkpoint as ck
+
+        state = self._state()
+        p = ck.save(str(tmp_path), state, step=9, backend="orbax",
+                    async_save=True)
+        ck.wait_for_pending()
+        got, _ = ck.restore(p, jax.tree_util.tree_map(lambda x: x * 0, state))
+        np.testing.assert_array_equal(np.asarray(got["params"]["b"]),
+                                      np.ones(4))
+
+    def test_trainer_with_orbax_backend(self, tiny_interactions, tmp_path):
+        from ncf_tpu.train import Trainer
+        from ncf_tpu.utils import Config
+
+        cfg = Config()
+        cfg.model.mf_dim = 8
+        cfg.model.mlp_dim = 8
+        cfg.model.temporal_dim = 4
+        cfg.model.mlp_hidden_dims = [16]
+        cfg.model.compute_dtype = "float32"
+        cfg.train.batch_size = 64
+        cfg.train.num_epochs = 1
+        cfg.train.checkpoint_backend = "orbax_async"
+        cfg.train.checkpoint_dir = str(tmp_path / "ck")
+        t = Trainer(cfg, tiny_interactions)
+        t.train()
+        t2 = Trainer(cfg, tiny_interactions)
+        assert t2.resume()
+        assert t2.global_step == t.global_step
