@@ -186,6 +186,35 @@ class Interactions:
         out[u[keep], rank[keep]] = items[keep]
         return out
 
+    def causal_history(self, max_len: int = 50) -> np.ndarray:
+        """Strictly-causal per-EXAMPLE contexts: int32 [N, max_len], row j
+        holding the ``max_len`` items this row's user interacted with
+        strictly BEFORE row j (newest first, padded -1).
+
+        ``recent_history`` is a per-USER table where items purchased
+        after an example's timestamp stay visible during training — the
+        same approximation the reference's last-50 feature pipeline
+        makes (features.py:74).  This variant removes it (roadmap #5) at
+        the cost of an [N, max_len] host table."""
+        n = len(self)
+        # stable chronological order within each user (ties by log order)
+        order = np.lexsort((np.arange(n), self.timestamps, self.user_ids))
+        u = self.user_ids[order]
+        items_ordered = self.item_ids[order]
+        counts = np.bincount(u, minlength=self.num_users)
+        starts = np.zeros(self.num_users, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        rank = np.arange(n) - starts[u]                      # within-user k
+        # history column c of ordered row j = items_ordered[j - 1 - c]
+        cols = np.arange(max_len)[None, :]
+        src = np.arange(n)[:, None] - 1 - cols               # [N, H] global
+        valid = (rank[:, None] - 1 - cols) >= 0              # stays in-user
+        hist_ordered = np.where(
+            valid, items_ordered[np.clip(src, 0, n - 1)], -1).astype(np.int32)
+        out = np.empty((n, max_len), np.int32)
+        out[order] = hist_ordered
+        return out
+
     # --------------------------------------------------------------- splits
 
     def time_split(self, validation_days: int) -> Tuple["Interactions", "Interactions"]:

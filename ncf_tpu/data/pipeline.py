@@ -41,6 +41,7 @@ class BatchIterator:
         seed: int = 0,
         shuffle: bool = True,
         drop_remainder: bool = False,
+        extra_cols: Dict[str, np.ndarray] = None,
     ):
         self.inter = interactions
         self.batch_size = int(batch_size)
@@ -56,6 +57,12 @@ class BatchIterator:
             "month": month,
             "day_of_year": doy,
         }
+        for k, v in (extra_cols or {}).items():
+            if len(v) != len(interactions):
+                raise ValueError(
+                    f"extra col {k!r} has {len(v)} rows, expected "
+                    f"{len(interactions)}")
+            self._cols[k] = v
         n = len(interactions)
         if drop_remainder:
             self.num_batches = n // self.batch_size

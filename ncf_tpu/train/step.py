@@ -65,14 +65,18 @@ def _make_loss_fn(model, cfg: Config, neg_cdf, item_dept, item_cat,
         temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
                     if k in batch} or None
         history = None
-        if user_history is not None:
+        if "history" in batch:
+            # strictly-causal per-example prefix contexts shipped in the
+            # batch (Interactions.causal_history; cfg.model.causal_history)
+            # — the positive is never in its own prefix by construction
+            history = batch["history"]
+        elif user_history is not None:
             # static per-user context table (train split); the current
             # positive is masked out of its own context, but items the
             # user bought AFTER this example remain visible — the same
             # approximation the reference's last-50 feature pipeline
-            # makes (features.py:74).  Strictly-causal per-example
-            # histories are a known TODO (requires per-row context in
-            # the batch).
+            # makes (features.py:74).  cfg.model.causal_history=True
+            # switches to exact per-example prefixes.
             history = jnp.take(user_history, batch["user_ids"], axis=0)
             history = jnp.where(history == pos[:, None], -1, history)
         logits = model.apply(

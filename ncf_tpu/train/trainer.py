@@ -76,8 +76,14 @@ class Trainer:
             interactions, eval_users, eval_items,
             num_negatives=cfg.data.num_eval_negatives, seed=cfg.train.seed)
 
+        train_extra = None
+        if cfg.model.use_sequence and cfg.model.causal_history:
+            # strictly-causal per-example contexts (roadmap #5)
+            train_extra = {"history": train_inter.causal_history(
+                cfg.model.history_len)}
         self.train_iter = BatchIterator(
-            train_inter, cfg.train.batch_size, seed=cfg.train.seed)
+            train_inter, cfg.train.batch_size, seed=cfg.train.seed,
+            extra_cols=train_extra)
         self.val_iter = BatchIterator(
             val_inter, cfg.train.batch_size, seed=cfg.train.seed, shuffle=False)
 

@@ -48,6 +48,10 @@ class ModelConfig:
     # optional path (attention over the user's recent items)
     use_sequence: bool = False
     history_len: int = 50       # reference LIMIT 50 (features.py:74)
+    causal_history: bool = False  # strictly-causal per-example train
+    #                               contexts ([N, H] host table) instead of
+    #                               the static per-user table (which leaks
+    #                               post-example items, like the reference)
     # candidate scoring mode during TRAINING:
     #   "joint"       — reference semantics (architecture.py:315-323):
     #                   attention pools over the (1+neg) slot group, so

@@ -141,3 +141,61 @@ class TestSequenceTraining:
         after = t.validate(99)
         assert after["val_loss"] < before["val_loss"]
         assert np.isfinite(after["hr@10"])
+
+
+class TestCausalHistory:
+    def test_strictly_causal_contexts(self):
+        """causal_history row j holds exactly the user's prior items,
+        newest first, with NO post-example leakage (roadmap #5)."""
+        from ncf_tpu.data.interactions import Interactions
+
+        # user 0: items 1,2,3 at t=10,20,30 ; user 1: items 7,8 at t=15,5
+        inter = Interactions(
+            user_ids=np.array([0, 1, 0, 0, 1], np.int32),
+            item_ids=np.array([1, 7, 2, 3, 8], np.int32),
+            timestamps=np.array([10, 15, 20, 30, 5], np.int64),
+            amounts=np.ones(5, np.float32),
+            num_users=2, num_items=10)
+        h = inter.causal_history(max_len=3)
+        np.testing.assert_array_equal(h[0], [-1, -1, -1])      # u0 first
+        np.testing.assert_array_equal(h[2], [1, -1, -1])       # after item 1
+        np.testing.assert_array_equal(h[3], [2, 1, -1])        # newest first
+        np.testing.assert_array_equal(h[4], [-1, -1, -1])      # u1 t=5 first
+        np.testing.assert_array_equal(h[1], [8, -1, -1])       # u1 t=15
+
+    def test_no_future_leakage_vs_recent_history(self, tiny_interactions):
+        """Every context item must predate its row; the static
+        recent_history table does NOT satisfy this."""
+        inter = tiny_interactions
+        h = inter.causal_history(max_len=10)
+        # spot-check 200 random rows exhaustively
+        rng = np.random.default_rng(0)
+        for j in rng.integers(0, len(inter), 200):
+            u, t = inter.user_ids[j], inter.timestamps[j]
+            prior = inter.item_ids[(inter.user_ids == u)
+                                   & (inter.timestamps < t)]
+            ctx = h[j][h[j] >= 0]
+            assert set(ctx) <= set(prior) | set(
+                inter.item_ids[(inter.user_ids == u)
+                               & (inter.timestamps == t)])  # ties allowed
+
+    def test_trainer_causal_sequence_smoke(self, tiny_interactions, tmp_path):
+        from ncf_tpu.train import Trainer
+        from ncf_tpu.utils import Config
+
+        cfg = Config()
+        cfg.model.mf_dim = 8
+        cfg.model.mlp_dim = 8
+        cfg.model.temporal_dim = 4
+        cfg.model.mlp_hidden_dims = [16]
+        cfg.model.compute_dtype = "float32"
+        cfg.model.use_sequence = True
+        cfg.model.causal_history = True
+        cfg.model.history_len = 8
+        cfg.train.batch_size = 64
+        cfg.train.num_epochs = 1
+        cfg.train.checkpoint_dir = str(tmp_path / "ck")
+        t = Trainer(cfg, tiny_interactions)
+        assert "history" in next(t.train_iter.epoch(0))
+        m = t.train()
+        assert np.isfinite(m["val_loss"])
