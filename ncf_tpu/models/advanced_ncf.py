@@ -262,6 +262,12 @@ def apply(
             layer_norm(params["mf_norm"], params["item_emb"][:, :dmf]),
             item_mlp_t,
         ], axis=-1)
+        # gather in compute dtype: the LN'd tables are tiny, the gathered
+        # activations are the biggest tensors in the step — bf16 halves
+        # their HBM traffic (and the table grads are bf16-rounded anyway
+        # under the validated fast scatter path)
+        user_t = user_t.astype(dtype)
+        item_t = item_t.astype(dtype)
         user_full = embedding_lookup(user_t, user_ids)       # [B, 2d]
         item_full = embedding_lookup(item_t, item_ids)       # [B, S, 2d]
         user_mf, user_mlp = user_full[:, :dmf], user_full[:, dmf:]

@@ -63,11 +63,20 @@ def apply(
     (architecture.py:86-94).  All index arrays share a leading shape; the
     result has trailing dim = embed_dim."""
     embed_dim = params["hour"].shape[-1]
+    pe = sinusoidal_table(embed_dim)
+    if (hour.ndim == 1 and hour.shape[0] >= 4096
+            and jax.default_backend() == "tpu"):
+        # fused one-kernel path: 4 one-hot matmul lookups + sum in VMEM
+        # (~4x 25us of XLA gather fusions collapse; ops/pallas_temporal)
+        from ncf_tpu.ops.pallas_temporal import fused_lookup_sum
+
+        ids = jnp.stack([hour, day, month, days_since % MAX_PERIOD])
+        return fused_lookup_sum(
+            ids, (params["hour"], params["day"], params["month"], pe))
     temporal = (
         embedding_lookup(params["hour"], hour)
         + embedding_lookup(params["day"], day)
         + embedding_lookup(params["month"], month)
     )
-    pe = sinusoidal_table(embed_dim)
     seasonal = jnp.take(pe, days_since % MAX_PERIOD, axis=0)
     return temporal + seasonal

@@ -94,8 +94,11 @@ def _make_pallas_scatter_lookup(shape: tuple, dtype_name: str, mode: str,
         from ncf_tpu.ops.pallas_scatter import (
             onehot_scatter_add, scatter_fits, scatter_preferred)
 
-        gate = scatter_fits if forced else scatter_preferred
-        if gate(shape[0], shape[1], ids.size):
+        if forced:
+            use = scatter_fits(shape[0], shape[1], ids.size)
+        else:
+            use = scatter_preferred(shape[0], shape[1], ids.size, mode)
+        if use:
             grad = onehot_scatter_add(
                 ids, g, shape[0], mode=mode).astype(dtype)
         else:
@@ -122,8 +125,10 @@ def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
 
         return pallas_embedding_lookup(table, ids)
     if _use_pallas_scatter():
+        # "pallas" forces the kernel for every VMEM-fitting shape;
+        # "auto"/"fast" route per the measured cost model
         fn = _make_pallas_scatter_lookup(
             tuple(table.shape), jnp.dtype(table.dtype).name, _SCATTER_MODE,
-            _SCATTER_IMPL in ("pallas", "fast"))
+            _SCATTER_IMPL == "pallas")
         return fn(table, ids)
     return jnp.take(table, ids, axis=0)

@@ -65,12 +65,14 @@ def _make_kernel(i_pad: int, mode: str):
         g = g_ref[:]                              # [C, D] f32
 
         if mode == "split":
+            g = g.astype(jnp.float32)
             g_hi = g.astype(jnp.bfloat16)
             g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             operands = (g_hi, g_lo)
             oh_dtype = jnp.bfloat16
         elif mode == "bf16":
-            operands = (g.astype(jnp.bfloat16),)
+            operands = (g if g.dtype == jnp.bfloat16
+                        else g.astype(jnp.bfloat16),)
             oh_dtype = jnp.bfloat16
         elif mode == "f32":
             operands = (g,)
@@ -106,11 +108,16 @@ def _scatter_add(ids: jax.Array, grads: jax.Array, num_rows: int,
     n_pad = _round_up(max(n, _CHUNK), _CHUNK)
     i_pad = _round_up(num_rows, 128)
 
+    # keep bf16 grads in bf16 when the matmul operand is bf16 anyway —
+    # an f32 upcast would double the kernel's HBM read traffic
+    in_dtype = (jnp.bfloat16
+                if mode == "bf16" and grads.dtype == jnp.bfloat16
+                else jnp.float32)
     # pad ids with -1 (matches no row) and grads with zeros
     ids_p = jnp.pad(ids.astype(jnp.int32), (0, n_pad - n),
                     constant_values=-1)
-    grads_p = (grads.astype(jnp.float32) if n_pad == n
-               else jnp.pad(grads.astype(jnp.float32),
+    grads_p = (grads.astype(in_dtype) if n_pad == n
+               else jnp.pad(grads.astype(in_dtype),
                             ((0, n_pad - n), (0, 0))))
     nc = n_pad // _CHUNK
 
@@ -165,13 +172,31 @@ def scatter_fits(num_rows: int, d: int, n: int) -> bool:
             and d % 8 == 0)
 
 
-def scatter_preferred(num_rows: int, d: int, n: int) -> bool:
-    """Whether the one-hot kernel is expected to BEAT XLA's scatter.
+# v5e-measured cost model (see git history for the profiles):
+#   XLA scatter-add wall time is ~linear in n (collision-serialized row
+#   updates): standalone slope ~6.7-7 ns/row (113us @ n=16384 f32,
+#   552-577us @ n=81920), but in-graph (bf16 operands, layout
+#   conversions) it measures closer to 12 ns/row; 9.0 reproduces every
+#   measured in-step preference (items-bf16/users/temporal -> kernel,
+#   items-split -> XLA).
+#   The one-hot kernel runs at MXU peak: i_pad*n*d MACs (x2 for split)
+#   at ~98.5e12 MAC/s bf16, plus ~10us fixed overhead.
+_XLA_NS_PER_ROW = 9.0
+_KERNEL_MAC_PER_S = 98.5e12
+_KERNEL_OVERHEAD_US = 10.0
 
-    The kernel's MXU cost is i_pad * n * d MACs (x2 in split mode) — at
-    ML-1M scale it runs at MXU peak but that peak loses to XLA's scatter
-    for big tables (measured v5e, batch 16k: items [3706,128] XLA 557us
-    vs kernel-split 806us; users [6040,128] 113us vs 266us).  For SMALL
-    tables the matmul is trivial while XLA's collision-serialized
-    scatter still costs ~111us ([24,32] at n=16k) — route those."""
-    return scatter_fits(num_rows, d, n) and _round_up(num_rows, 128) <= 2048
+
+def _kernel_cost_us(num_rows: int, d: int, n: int, mode: str) -> float:
+    macs = _round_up(num_rows, 128) * n * d * (2 if mode == "split" else 1)
+    return macs / _KERNEL_MAC_PER_S * 1e6 + _KERNEL_OVERHEAD_US
+
+
+def scatter_preferred(num_rows: int, d: int, n: int,
+                      mode: str = "split") -> bool:
+    """Whether the one-hot kernel is expected to BEAT XLA's scatter for
+    this shape, per the measured cost model above.  Small tables always
+    win (the matmul is trivial while XLA still pays per-row); very large
+    tables lose (MXU work grows with rows x n x d)."""
+    if not scatter_fits(num_rows, d, n):
+        return False
+    return _kernel_cost_us(num_rows, d, n, mode) < _XLA_NS_PER_ROW * n / 1e3

@@ -118,10 +118,16 @@ class TestOnehotScatter:
     def test_scatter_routing_gates(self):
         from ncf_tpu.ops.pallas_scatter import scatter_fits, scatter_preferred
 
-        assert scatter_fits(3706, 128, 81920)          # items: fits VMEM
-        assert not scatter_preferred(3706, 128, 81920)  # ...but XLA wins
-        assert scatter_preferred(24, 32, 16384)         # temporal: kernel wins
-        assert not scatter_fits(24, 32, 1024)           # too few ids
+        assert scatter_fits(3706, 128, 81920)            # items: fits VMEM
+        # cost model (v5e in-graph calibration): items win in bf16, lose
+        # in split; users are near the crossover (kernel by a nose in
+        # bf16, XLA in split); tiny temporal tables always win
+        assert not scatter_preferred(3706, 128, 81920, "split")
+        assert scatter_preferred(3706, 128, 81920, "bf16")
+        assert scatter_preferred(6040, 128, 16384, "bf16")
+        assert not scatter_preferred(6040, 128, 16384, "split")
+        assert scatter_preferred(24, 32, 16384)
+        assert not scatter_fits(24, 32, 1024)            # too few ids
         assert not scatter_fits(10_000_000, 128, 81920)  # acc > VMEM
 
     def test_auto_and_fast_impls_cpu_fall_back_to_xla(self):
