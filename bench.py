@@ -97,12 +97,12 @@ def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
 
 
 def bench_serving_qps():
-    """Serving retrieval: segmented streaming top-k over a 1M-item
+    """Serving retrieval: streaming segmax top-k over a 1M-item
     catalog, users/s/chip.  Measured with chained iterations inside ONE
     lax.scan dispatch — per-call tunnel latency would otherwise dominate
     (host-loop chaining measures ~230 ms/call where on-device time is
-    ~34 ms).  Returns (users_per_s, ms_per_batch)."""
-    from ncf_tpu.ops.topk import topk_scores_segmented
+    ~10 ms).  Returns (users_per_s, ms_per_batch)."""
+    from ncf_tpu.ops.topk import topk_scores_streaming
 
     rng = np.random.default_rng(0)
     B, I, D = 1024, 1_000_000, 64
@@ -114,7 +114,7 @@ def bench_serving_qps():
     @jax.jit
     def run(q0):
         def body(q, _):
-            v, _i = topk_scores_segmented(q, t, 10, bias)
+            v, _i = topk_scores_streaming(q, t, 10, bias)
             return q0 + (v[0, 0] * 1e-30).astype(q0.dtype), ()
         q, _ = jax.lax.scan(body, q0, None, length=n)
         return q

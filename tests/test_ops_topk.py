@@ -126,3 +126,83 @@ class TestSegmentedTopk:
                 vs[r], scores[r, i_seg[r]], rtol=1e-5, atol=1e-5)
         # and sorted descending
         assert (np.diff(vs, axis=1) <= 1e-6).all()
+
+
+class TestStreamingTopk:
+    """The production streaming kernel: exact f32 scores, exact item ids,
+    recall 1.0 unless > seg_top true top-k items share one segment."""
+
+    def _run(self, num_items=5000, B=24, k=10, bias=True, seg_top=2,
+             block_items=512, user_tile=8, seg_width=64, D=32):
+        from ncf_tpu.ops.topk import topk_scores_streaming
+
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(num_items, D)), jnp.float32)
+        b = (jnp.asarray(rng.normal(size=(num_items,)), jnp.float32)
+             if bias else None)
+        vs, ids = topk_scores_streaming(
+            q, t, k=k, bias=b, block_items=block_items, user_tile=user_tile,
+            seg_width=seg_width, seg_top=seg_top, interpret=True)
+        vx, ix = topk_scores_xla(q, t, k=k, bias=b)
+        return (np.asarray(vs), np.asarray(ids),
+                np.asarray(vx), np.asarray(ix))
+
+    def test_matches_exact_with_bias(self):
+        vs, ids, vx, ix = self._run()
+        np.testing.assert_allclose(vs, vx, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(ids, ix)
+
+    def test_matches_exact_no_bias(self):
+        vs, ids, vx, ix = self._run(bias=False)
+        np.testing.assert_allclose(vs, vx, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(ids, ix)
+
+    def test_non_divisible_items_and_batch(self):
+        # I not a multiple of block_items or seg_width; B not of the tile
+        vs, ids, vx, ix = self._run(num_items=4999, B=13)
+        np.testing.assert_allclose(vs, vx, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(ids, ix)
+        assert ids.max() < 4999
+
+    def test_k1(self):
+        vs, ids, vx, ix = self._run(k=1)
+        np.testing.assert_array_equal(ids, ix)
+
+    def test_seg_top1_recall_model(self):
+        # seg_top=1 reverts to one-candidate-per-segment: misses only
+        # same-segment collisions among the true top-k
+        from ncf_tpu.ops.topk import topk_scores_streaming
+
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(size=(24, 32)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(5000, 32)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(5000,)), jnp.float32)
+        vs, ids = topk_scores_streaming(
+            q, t, k=10, bias=b, block_items=512, user_tile=8,
+            seg_width=128, seg_top=1, interpret=True)
+        _, ix = topk_scores_xla(q, t, k=10, bias=b)
+        vs, ids, ix = np.asarray(vs), np.asarray(ids), np.asarray(ix)
+        recall = np.mean([len(set(ids[r]) & set(ix[r])) / 10
+                          for r in range(len(ix))])
+        assert recall > 0.8
+        # surfaced values are the EXACT scores of the surfaced items
+        exact = (np.asarray(q) @ np.asarray(t).T) + np.asarray(b)[None, :]
+        np.testing.assert_allclose(
+            vs, np.take_along_axis(exact, ids, axis=1), rtol=1e-5, atol=1e-5)
+
+    def test_duplicate_free(self):
+        _, ids, _, _ = self._run(num_items=300, block_items=512)
+        for r in range(ids.shape[0]):
+            assert len(set(ids[r])) == len(ids[r])
+
+    def test_dispatch_streaming(self):
+        from ncf_tpu.ops.topk import topk_scores
+
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(200, 16)), jnp.float32)
+        v_auto, i_auto = topk_scores(q, t, k=5)
+        v_ref, i_ref = topk_scores_xla(q, t, k=5)
+        np.testing.assert_allclose(np.asarray(v_auto), np.asarray(v_ref),
+                                   rtol=1e-5)
