@@ -57,6 +57,10 @@ def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
     cfg.model.compute_dtype = "bfloat16"
     cfg.train.batch_size = BATCH
     cfg.train.steps_per_dispatch = steps_per_dispatch
+    # convergence-validated (HR@10 0.731 vs iid 0.734, within run noise —
+    # results/stratified_metrics.jsonl): sorted pooled negatives engage
+    # the scatter kernel's narrow-span path, ~12% whole-step lift
+    cfg.train.negative_sampling = "stratified"
 
     # convergence-validated fast path (see ops/embedding.set_scatter_impl)
     from ncf_tpu.ops import embedding
@@ -84,8 +88,12 @@ def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
         lead = (BATCH,)
 
     batch = {
+        # user ids sorted within each step's batch — what BatchIterator
+        # feeds (sort_by_user): the scatter kernel's narrow-span path
+        # depends on it
         "user_ids": jnp.asarray(
-            rng_np.integers(0, NUM_USERS, lead), jnp.int32),
+            np.sort(rng_np.integers(0, NUM_USERS, lead), axis=-1),
+            jnp.int32),
         "item_ids": jnp.asarray(
             rng_np.integers(0, NUM_ITEMS, lead), jnp.int32),
         "hour": jnp.asarray(rng_np.integers(0, 24, lead), jnp.int32),

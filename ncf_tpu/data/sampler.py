@@ -75,6 +75,86 @@ def _inverse_cdf(cdf: jax.Array, u: jax.Array) -> jax.Array:
     return jnp.clip(idx, 0, num_items - 1).reshape(shape)
 
 
+@partial(jax.jit,
+         static_argnames=("num_negatives", "num_rounds", "num_items"))
+def sample_negatives_stratified(
+    rng: jax.Array,
+    pos_items: jax.Array,          # int32 [B]
+    num_items: int,
+    num_negatives: int,
+    cdf: Optional[jax.Array] = None,
+    num_rounds: int = 2,
+) -> jax.Array:
+    """Stratified sorted negative sampling: ``[B, num_negatives]`` draws
+    whose pooled multiset is exactly an i.i.d. sample of size
+    ``B * num_negatives`` from the target distribution, generated in
+    SORTED id order and assigned to (row, slot) cells by a strided
+    random rotation.
+
+    Why: sorted draws give every 1024-id chunk of the embedding-gradient
+    scatter a narrow accumulator row band, so the one-hot scatter kernel
+    (ops/pallas_scatter.py) skips ~85% of its MXU work — the scatter is
+    the largest component of the train step at ML-1M scale.
+
+    How:
+      1. sorted uniforms WITHOUT a sort: normalized cumulative sums of
+         exponential spacings (s_k / s_N for e ~ Exp(1)) are exactly the
+         order statistics of N i.i.d. uniforms.
+      2. inverse-CDF tree descent maps them to nondecreasing item ids.
+      3. cell (b, slot s) takes pooled[(rot + s*B + b) mod N]: each
+         row's negatives come from ``num_negatives`` well-separated
+         strata of the pooled sample (never intra-row duplicates), and
+         the random rotation varies strata across steps.  Statistically
+         this is systematic (stratified) sampling: the batch-level
+         negative distribution is exact, per-row sets are
+         variance-REDUCED; only the pairing of rows to quantile strata
+         is non-random within a single batch, and it re-randomizes
+         every step via ``rot`` and the epoch shuffle.
+      4. positive collisions advance to the next sorted neighbor
+         (distribution-preserving to O(collision^2), keeps sortedness);
+         ``num_rounds - 1`` advances.
+
+    Validated against the i.i.d. sampler on the convergence benchmark —
+    see BENCH_NOTES.md.  For dense per-user ``history`` exclusion use
+    ``sample_negatives`` (the exclusion test needs arbitrary redraws).
+    """
+    B = pos_items.shape[0]
+    N = B * num_negatives
+    # 1. sorted uniforms via exponential spacings
+    u = jax.random.uniform(rng, (N + 1,), jnp.float32,
+                           minval=1e-7, maxval=1.0)
+    e = -jnp.log(u)
+    s = jnp.cumsum(e)
+    sorted_u = s[:N] / s[N]
+    # 2. nondecreasing ids (tree descent is order-agnostic)
+    if cdf is None:
+        pooled = jnp.clip((sorted_u * num_items).astype(jnp.int32),
+                          0, num_items - 1)
+    else:
+        from ncf_tpu.ops.pallas_sampler import (
+            tree_sample_negatives, tree_sampler_fits)
+
+        if jax.default_backend() == "tpu" and tree_sampler_fits(num_items):
+            pooled = tree_sample_negatives(
+                sorted_u[None, :], jnp.zeros((N,), jnp.int32) - 1,
+                cdf, num_items).reshape(-1)
+        else:
+            pooled = _inverse_cdf(cdf, sorted_u)
+    # 3. strided assignment under a random rotation
+    rot = jax.random.randint(rng, (), 0, N, dtype=jnp.int32)
+    rolled = jnp.roll(pooled, -rot)                     # [N] column-major
+    negs = rolled.reshape(num_negatives, B).T           # [B, NEG]
+    # 4. neighbor-advance collision resolution: step 32*k positions
+    # forward in the pooled sorted sample.  Mean id multiplicity in the
+    # pool is N/num_items (~18-31 at ML-1M scale), so +1 would mostly
+    # land on the same id again; +32 moves ~1-2 ids over while staying
+    # inside the scatter chunk's narrow row window.
+    for k in range(1, num_rounds):
+        nxt = jnp.roll(pooled, -(rot + 32 * k)).reshape(num_negatives, B).T
+        negs = jnp.where(negs == pos_items[:, None], nxt, negs)
+    return negs
+
+
 @partial(jax.jit, static_argnames=("num_negatives", "num_rounds", "num_items"))
 def sample_negatives(
     rng: jax.Array,

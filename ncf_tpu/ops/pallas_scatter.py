@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _CHUNK = 1024       # ids consumed per grid step
 _ROWS_TILE = 512    # accumulator rows per one-hot matmul
+_NARROW = 1024      # narrow-span fast path: one dynamic row window
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,6 +54,9 @@ def _make_kernel(i_pad: int, mode: str):
         t = min(_ROWS_TILE, i_pad - r)
         tiles.append((r, t))
         r += t
+    # Narrow-span fast path only pays off when it skips real tiles, and
+    # needs a full window to slice.
+    use_narrow = i_pad >= 2 * _NARROW
 
     def kernel(ids_ref, g_ref, out_ref, acc_ref):
         nc = pl.program_id(0)
@@ -81,8 +85,9 @@ def _make_kernel(i_pad: int, mode: str):
             raise ValueError(f"unknown scatter mode {mode!r}")
 
         c = ids.shape[0]
-        for row0, rows in tiles:
-            row_ids = row0 + jax.lax.broadcasted_iota(
+
+        def accumulate(start, rows, dynamic):
+            row_ids = start + jax.lax.broadcasted_iota(
                 jnp.int32, (rows, c), 0)
             onehot = (row_ids == ids[None, :]).astype(oh_dtype)
             update = jnp.dot(onehot, operands[0],
@@ -90,7 +95,39 @@ def _make_kernel(i_pad: int, mode: str):
             for op in operands[1:]:
                 update = update + jnp.dot(
                     onehot, op, preferred_element_type=jnp.float32)
-            acc_ref[row0:row0 + rows, :] += update
+            if dynamic:
+                sl = pl.ds(start, rows)
+                acc_ref[sl, :] += update
+            else:
+                acc_ref[start:start + rows, :] += update
+
+        def full_sweep():
+            for row0, rows in tiles:
+                accumulate(row0, rows, dynamic=False)
+
+        if not use_narrow:
+            full_sweep()
+        else:
+            # Chunk id range: when the caller's ids arrive in sorted runs
+            # (host-sorted batches, stratified sorted negatives — see
+            # onehot_scatter_add), the chunk's ids span a narrow row band
+            # and ONE dynamically-placed _NARROW-row matmul replaces the
+            # whole tile sweep.  Random ids take the branch-free full
+            # sweep; the single per-chunk branch costs ~nothing either
+            # way.  Padding (-1) is excluded from lo and matches no row.
+            chunk_lo = jnp.min(jnp.where(ids < 0, jnp.int32(2**30), ids))
+            chunk_hi = jnp.max(ids)
+            start = jnp.minimum((chunk_lo // _ROWS_TILE) * _ROWS_TILE,
+                                jnp.int32(i_pad - _NARROW))
+            narrow = chunk_hi < start + _NARROW
+
+            @pl.when(narrow)
+            def _():
+                accumulate(start, _NARROW, dynamic=True)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
+                full_sweep()
 
         @pl.when(nc == pl.num_programs(0) - 1)
         def _():
@@ -153,9 +190,19 @@ def onehot_scatter_add(ids: jax.Array, grads: jax.Array, num_rows: int,
     ids int[...], grads float[..., D]  ->  f32 [num_rows, D] where
     ``out[i] = sum over n with ids[n] == i of grads[n]``.
     Ids outside [0, num_rows) contribute nothing (used for padding).
+
+    2-D ids [B, S] are flattened SLOT-major (column-major): scatter
+    output is order-invariant, but slot-major keeps each candidate
+    slot's ids contiguous across chunks — so when a slot's ids are
+    sorted runs (host-sorted batches, stratified sorted negatives) the
+    kernel's per-chunk tile skip engages.
     """
-    flat_ids = ids.reshape(-1)
-    flat_g = grads.reshape(-1, grads.shape[-1])
+    if ids.ndim == 2:
+        flat_ids = ids.T.reshape(-1)
+        flat_g = jnp.swapaxes(grads, 0, 1).reshape(-1, grads.shape[-1])
+    else:
+        flat_ids = ids.reshape(-1)
+        flat_g = grads.reshape(-1, grads.shape[-1])
     return _scatter_add(flat_ids, flat_g, num_rows, mode, interpret)
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ncf_tpu.data.sampler import sample_negatives
+from ncf_tpu.data.sampler import sample_negatives, sample_negatives_stratified
 from ncf_tpu.evals.metrics import accuracy_stats
 from ncf_tpu.utils.config import Config
 
@@ -55,12 +55,19 @@ def _make_loss_fn(model, cfg: Config, neg_cdf, item_dept, item_cat,
     loss_impl = make_loss(cfg.train.loss)
     joint = mcfg.candidate_mode == "joint"
 
+    stratified = cfg.train.negative_sampling == "stratified"
+
     def loss_fn(params, batch, rng):
         rng_neg, rng_drop = jax.random.split(rng)
         pos = batch["item_ids"]
-        negs = sample_negatives(
-            rng_neg, pos, mcfg.num_items, mcfg.negative_samples,
-            cdf=neg_cdf)
+        if stratified:
+            negs = sample_negatives_stratified(
+                rng_neg, pos, mcfg.num_items, mcfg.negative_samples,
+                cdf=neg_cdf)
+        else:
+            negs = sample_negatives(
+                rng_neg, pos, mcfg.num_items, mcfg.negative_samples,
+                cdf=neg_cdf)
         items = jnp.concatenate([pos[:, None], negs], axis=1)       # [B, S]
         temporal = {k: batch[k] for k in ("hour", "day", "month", "day_of_year")
                     if k in batch} or None

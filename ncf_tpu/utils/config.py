@@ -99,6 +99,13 @@ class TrainConfig:
     gradient_clip_norm: float = 5.0
     lr_schedule: str = "constant"       # constant | cosine
     warmup_steps: int = 0
+    negative_sampling: str = "iid"      # iid (reference semantics: per-slot
+    #                                     independent draws + masked redraw)
+    #                                     | stratified (pooled sorted order
+    #                                     statistics, strided assignment —
+    #                                     exact batch-level distribution,
+    #                                     ~2x faster embedding-grad scatter;
+    #                                     sampler.sample_negatives_stratified)
     embedding_scatter: str = "fast"     # fast (Pallas bf16 grads, TPU-only,
     #                                     convergence-validated) | exact
     #                                     (Pallas split for small tables

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
     ap.add_argument("--loss", default="bce", choices=["bce", "bpr"])
+    ap.add_argument("--negative-sampling", default="iid",
+                    choices=["iid", "stratified"])
     ap.add_argument("--early-stopping-metric", default="val_loss")
     ap.add_argument("--patience", type=int, default=8)
     ap.add_argument("--metrics-file", required=True)
@@ -67,6 +69,7 @@ def main():
     cfg.train.weight_decay = 1e-5
     cfg.train.num_epochs = args.epochs
     cfg.train.loss = args.loss
+    cfg.train.negative_sampling = args.negative_sampling
     cfg.train.early_stopping_patience = args.patience
     cfg.train.early_stopping_metric = args.early_stopping_metric
     cfg.train.lr_schedule = "cosine"

@@ -117,3 +117,17 @@ class TestBatchIterator:
         np.testing.assert_array_equal(
             next(iter(it1.epoch(4)))["item_ids"],
             next(iter(it2.epoch(4)))["item_ids"])
+
+
+class TestSortByUser:
+    def test_rows_sorted_and_content_preserved(self, tiny_interactions):
+        it_sorted = BatchIterator(tiny_interactions, batch_size=64, seed=0)
+        it_plain = BatchIterator(tiny_interactions, batch_size=64, seed=0,
+                                 sort_by_user=False)
+        for bs, bp in zip(it_sorted.epoch(2), it_plain.epoch(2)):
+            u = bs["user_ids"]
+            assert (np.diff(u.astype(np.int64)) >= 0).all()
+            # same multiset of (user, item) rows, just reordered
+            rows_s = sorted(zip(bs["user_ids"], bs["item_ids"], bs["hour"]))
+            rows_p = sorted(zip(bp["user_ids"], bp["item_ids"], bp["hour"]))
+            assert rows_s == rows_p

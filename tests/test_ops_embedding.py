@@ -150,3 +150,64 @@ class TestOnehotScatter:
                 assert grad.shape == table.shape
         finally:
             embedding.set_scatter_impl(orig)
+
+
+class TestNarrowSpanScatter:
+    """The narrow-span fast path (ops/pallas_scatter kernel): sorted-run
+    ids take a single dynamically-placed row window per chunk; results
+    must be identical to XLA scatter for every id pattern."""
+
+    def _check(self, ids_np, num_rows, d=128, mode="f32"):
+        import jax.numpy as jnp
+
+        from ncf_tpu.ops.pallas_scatter import onehot_scatter_add
+
+        rng = np.random.default_rng(1)
+        g = jnp.asarray(rng.normal(size=(len(ids_np), d)), jnp.float32)
+        ids = jnp.asarray(ids_np, jnp.int32)
+        out = onehot_scatter_add(ids, g, num_rows, mode=mode,
+                                 interpret=True)
+        ref = jnp.zeros((num_rows, d), jnp.float32).at[ids].add(g)
+        # atol covers f32 accumulation-order noise on rows that sum
+        # ~1e3 gradients (e.g. a whole chunk of one id)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-6, atol=1e-4)
+
+    def test_sorted_ids_narrow_path(self):
+        rng = np.random.default_rng(0)
+        # num_rows 2560 > 2*_NARROW gates the narrow path on
+        self._check(np.sort(rng.integers(0, 2560, 4096)), 2560)
+
+    def test_sorted_cluster_at_top_rows(self):
+        rng = np.random.default_rng(2)
+        self._check(np.sort(rng.integers(2400, 2560, 4096)), 2560)
+
+    def test_per_chunk_mixed_random_and_sorted(self):
+        rng = np.random.default_rng(3)
+        ids = np.concatenate([
+            rng.integers(0, 2560, 1024),            # random chunk
+            np.sort(rng.integers(0, 2560, 1024)),   # sorted chunk
+            np.full(1024, 7),                       # constant chunk
+            np.sort(rng.integers(1000, 1100, 1024)),
+        ])
+        self._check(ids, 2560)
+
+    def test_small_table_full_sweep_unchanged(self):
+        rng = np.random.default_rng(4)
+        self._check(rng.integers(0, 300, 2048), 300)
+
+    def test_slot_major_flatten_2d(self):
+        """2-D ids flatten slot-major; output identical to XLA either way."""
+        import jax.numpy as jnp
+
+        from ncf_tpu.ops.pallas_scatter import onehot_scatter_add
+
+        rng = np.random.default_rng(5)
+        B, S, d, I = 512, 5, 64, 2560
+        ids = jnp.asarray(rng.integers(0, I, (B, S)), jnp.int32)
+        g = jnp.asarray(rng.normal(size=(B, S, d)), jnp.float32)
+        out = onehot_scatter_add(ids, g, I, mode="f32", interpret=True)
+        ref = jnp.zeros((I, d), jnp.float32).at[ids.reshape(-1)].add(
+            g.reshape(-1, d))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-6, atol=1e-5)

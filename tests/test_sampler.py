@@ -158,3 +158,126 @@ class TestPallasTreeSampler:
         b = tree_sample_negatives(u.reshape(R, B * NEG), pos, cdf,
                                   num_items, interpret=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestStratifiedSampler:
+    """sample_negatives_stratified: pooled order statistics + strided
+    assignment (the scatter-kernel-friendly sampler)."""
+
+    def _setup(self, seed=0, num_items=500, B=2048, NEG=4):
+        import jax
+        import jax.numpy as jnp
+
+        from ncf_tpu.data.sampler import make_sampling_cdf
+
+        rng = np.random.default_rng(seed)
+        w = 1.0 / rng.zipf(1.3, num_items).astype(np.float64)
+        cdf = make_sampling_cdf(w)
+        p = w / w.sum()
+        pos = jnp.asarray(rng.integers(0, num_items, B), jnp.int32)
+        return jax, jnp, cdf, p, pos, num_items, B, NEG
+
+    def test_distribution_matches_target(self):
+        from ncf_tpu.data.sampler import sample_negatives_stratified
+
+        jax, jnp, cdf, p, pos, I, B, NEG = self._setup()
+        tot = np.zeros(I)
+        for k in jax.random.split(jax.random.PRNGKey(3), 12):
+            negs = np.asarray(
+                sample_negatives_stratified(k, pos, I, NEG, cdf=cdf))
+            assert negs.shape == (B, NEG)
+            tot += np.bincount(negs.reshape(-1), minlength=I)
+        emp = tot / tot.sum()
+        l1 = np.abs(emp - p).sum()
+        # iid sampling at this draw count gives L1 ~ 0.09; allow 2x
+        assert l1 < 0.2, f"stratified sample L1={l1:.3f} off target"
+
+    def test_no_intra_row_duplicates(self):
+        from ncf_tpu.data.sampler import sample_negatives_stratified
+
+        jax, jnp, cdf, p, pos, I, B, NEG = self._setup(num_items=5000)
+        negs = np.asarray(sample_negatives_stratified(
+            jax.random.PRNGKey(0), pos, I, NEG, cdf=cdf))
+        dup_rows = sum(len(set(r)) < NEG for r in negs)
+        # strata are B positions apart in the pooled sorted sample;
+        # duplicates require a >B-long run of one id — impossible here
+        assert dup_rows == 0
+
+    def test_positive_collisions_resolved(self):
+        from ncf_tpu.data.sampler import sample_negatives_stratified
+
+        jax, jnp, cdf, p, pos, I, B, NEG = self._setup()
+        negs = np.asarray(sample_negatives_stratified(
+            jax.random.PRNGKey(1), pos, I, NEG, cdf=cdf, num_rounds=3))
+        coll = (negs == np.asarray(pos)[:, None]).sum()
+        assert coll <= B * NEG * 0.002, f"{coll} unresolved collisions"
+
+    def test_columns_near_sorted(self):
+        """Each slot column must be a rotation of a sorted run (<=1 wrap
+        break; collision fixes may add a handful) — the property the
+        scatter kernel's narrow-span path relies on."""
+        from ncf_tpu.data.sampler import sample_negatives_stratified
+
+        jax, jnp, cdf, p, pos, I, B, NEG = self._setup()
+        negs = np.asarray(sample_negatives_stratified(
+            jax.random.PRNGKey(2), pos, I, NEG, cdf=cdf))
+        for s in range(NEG):
+            breaks = int((np.diff(negs[:, s].astype(np.int64)) < 0).sum())
+            # <=1 wrap break + one local break per collision fix; must
+            # stay rare relative to the column length
+            assert breaks <= B // 100, f"column {s}: {breaks} sort breaks"
+
+    def test_uniform_mode_no_cdf(self):
+        from ncf_tpu.data.sampler import sample_negatives_stratified
+
+        jax, jnp, cdf, p, pos, I, B, NEG = self._setup()
+        negs = np.asarray(sample_negatives_stratified(
+            jax.random.PRNGKey(4), pos, I, NEG, cdf=None))
+        emp = np.bincount(negs.reshape(-1), minlength=I) / negs.size
+        assert np.abs(emp - 1.0 / I).sum() < 0.25
+
+    def test_train_step_integration(self):
+        """negative_sampling=stratified trains end-to-end (CPU path)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ncf_tpu.models import get_model
+        from ncf_tpu.train.optim import make_optimizer
+        from ncf_tpu.train.step import make_train_step
+        from ncf_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg.model.num_users, cfg.model.num_items = 50, 40
+        cfg.model.mf_dim = cfg.model.mlp_dim = 8
+        cfg.model.temporal_dim = 8
+        cfg.model.mlp_hidden_dims = [16, 8]
+        cfg.model.num_departments, cfg.model.num_categories = 3, 5
+        cfg.model.compute_dtype = "float32"
+        cfg.train.batch_size = 32
+        cfg.train.negative_sampling = "stratified"
+        model = get_model("advanced_ncf")
+        params = model.init(jax.random.PRNGKey(0), cfg.model)
+        opt = make_optimizer(cfg.train, steps_per_epoch=10)
+        opt_state = opt.init(params)
+        rng_np = np.random.default_rng(0)
+        step = make_train_step(
+            model, cfg, opt,
+            None,
+            jnp.asarray(rng_np.integers(0, 3, 40), jnp.int32),
+            jnp.asarray(rng_np.integers(0, 5, 40), jnp.int32))
+        batch = {
+            "user_ids": jnp.asarray(np.sort(rng_np.integers(0, 50, 32)),
+                                    jnp.int32),
+            "item_ids": jnp.asarray(rng_np.integers(0, 40, 32), jnp.int32),
+            "hour": jnp.zeros(32, jnp.int32),
+            "day": jnp.zeros(32, jnp.int32),
+            "month": jnp.zeros(32, jnp.int32),
+            "day_of_year": jnp.zeros(32, jnp.int32),
+        }
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(6):
+            params, opt_state, rng, m = step(params, opt_state, rng, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
