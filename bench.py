@@ -40,7 +40,13 @@ NUM_ITEMS = 3706
 BATCH = 16384
 STEPS_PER_DISPATCH = 8   # lax.scan steps per device call (train config knob)
 WARMUP = 2               # dispatches
-STEPS = 8                # dispatches (x STEPS_PER_DISPATCH optimizer steps)
+# Marginal-cost timing (see BENCH_NOTES.md "Measurement discipline"):
+# under the axon tunnel block_until_ready can ACK before the device work
+# drains, so every timed region must end in a REAL host fetch
+# (float(loss)), and the fixed ~30 ms fetch/round-trip cost is removed
+# by differencing a short and a long chained run.
+STEPS_SHORT = 4          # dispatches (x STEPS_PER_DISPATCH steps)
+STEPS_LONG = 32
 
 
 def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
@@ -119,23 +125,32 @@ def bench_serving_qps():
     bias = jnp.asarray(rng.normal(size=(I,)), jnp.float32)
     n = 5
 
-    @jax.jit
-    def run(q0):
-        def body(q, _):
-            v, _i = topk_scores_streaming(q, t, 10, bias)
-            return q0 + (v[0, 0] * 1e-30).astype(q0.dtype), ()
-        q, _ = jax.lax.scan(body, q0, None, length=n)
-        return q
+    def make_run(nn):
+        @jax.jit
+        def run(q0, t, bias):
+            def body(q, _):
+                v, _i = topk_scores_streaming(q, t, 10, bias)
+                return q0 + (v[0, 0] * 1e-30).astype(q0.dtype), ()
+            q, _ = jax.lax.scan(body, q0, None, length=nn)
+            return q
+        return run
 
-    out = run(q0)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = run(q0)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    dt = best / n
+    import numpy as _np
+
+    def timed(nn):
+        run = make_run(nn)
+        out = run(q0, t, bias)
+        _ = _np.asarray(out)          # real host fetch, not block_until_ready
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run(q0, t, bias)
+            _ = _np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = timed(n), timed(4 * n)
+    dt = (t_long - t_short) / (3 * n)     # marginal per-iteration cost
     return B / dt, dt * 1e3
 
 
@@ -165,15 +180,25 @@ def main():
 
     for _ in range(WARMUP):
         params, opt_state, rng, metrics = train_step(params, opt_state, rng, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])        # real host fetch
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        params, opt_state, rng, metrics = train_step(params, opt_state, rng, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    def timed(n, params, opt_state, rng):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt_state, rng, metrics = train_step(
+                params, opt_state, rng, batch)
+        _ = float(metrics["loss"])    # forces the full chained drain
+        return time.perf_counter() - t0, params, opt_state, rng, metrics
 
-    examples_per_s = STEPS * STEPS_PER_DISPATCH * BATCH / dt
+    t_short, params, opt_state, rng, metrics = timed(
+        STEPS_SHORT, params, opt_state, rng)
+    t_long, params, opt_state, rng, metrics = timed(
+        STEPS_LONG, params, opt_state, rng)
+    # marginal cost removes the fixed tunnel round-trip/fetch overhead
+    dt_step = (t_long - t_short) / (
+        (STEPS_LONG - STEPS_SHORT) * STEPS_PER_DISPATCH)
+
+    examples_per_s = BATCH / dt_step
     per_chip = examples_per_s / max(1, n_chips)
 
     try:
@@ -183,8 +208,8 @@ def main():
 
     detail = {
         "batch_size": BATCH,
-        "steps": STEPS,
-        "step_ms": round(1000 * dt / (STEPS * STEPS_PER_DISPATCH), 3),
+        "steps": (STEPS_LONG - STEPS_SHORT) * STEPS_PER_DISPATCH,
+        "step_ms": round(1000 * dt_step, 3),
         "steps_per_dispatch": STEPS_PER_DISPATCH,
         "chips": n_chips,
         "device": str(jax.devices()[0]),

@@ -114,16 +114,23 @@ def make_score_fn(model, params, cfg, item_dept=None, item_cat=None,
     """Build the jitted candidate scorer for ``evaluate``.
     ``user_history``: optional [num_users, H] context table (sequence
     models); rows are gathered per eval batch."""
-    dept = jnp.asarray(item_dept) if item_dept is not None else None
-    cat = jnp.asarray(item_cat) if item_cat is not None else None
-    hist = jnp.asarray(user_history) if user_history is not None else None
+    # read-only arrays ride as call-time jit arguments, not closure
+    # constants — graph-constant operands re-stage per kernel launch on
+    # TPU (see train/step.py::_const_args; ~0.2-0.45 ms per constant)
+    consts = {k: jnp.asarray(v) for k, v in (
+        ("dept", item_dept), ("cat", item_cat), ("hist", user_history))
+        if v is not None}
 
     @jax.jit
-    def score(users, cands, temporal):
+    def _score(params, users, cands, temporal, consts):
         kwargs = {}
-        if hist is not None:
-            kwargs["history"] = jnp.take(hist, users, axis=0)
+        if "hist" in consts:
+            kwargs["history"] = jnp.take(consts["hist"], users, axis=0)
         return model.score_candidates(
-            params, cfg, users, cands, temporal, dept, cat, **kwargs)
+            params, cfg, users, cands, temporal,
+            consts.get("dept"), consts.get("cat"), **kwargs)
+
+    def score(users, cands, temporal):
+        return _score(params, users, cands, temporal, consts)
 
     return score

@@ -284,8 +284,15 @@ class BruteForceScorer:
 
         import functools
 
+        # item_dept/item_cat/user_history ride as call-time jit args, not
+        # closure constants (graph-constant operands re-stage per kernel
+        # launch on TPU — see train/step.py::_const_args)
+        consts = {k: v for k, v in (
+            ("dept", item_dept), ("cat", item_cat),
+            ("hist", user_history)) if v is not None}
+
         @functools.partial(jax.jit, static_argnames=("k",))
-        def _scan_topk(params, user_ids, temporal, k):
+        def _scan_topk_impl(params, user_ids, temporal, consts, k):
             I = cfg.num_items
             C = min(self.chunk, I)
             nchunks = -(-I // C)
@@ -297,12 +304,13 @@ class BruteForceScorer:
                 cand = start + jnp.arange(C, dtype=jnp.int32)[None, :]
                 cand = jnp.broadcast_to(cand, (B, C))
                 kwargs = {}
-                if self.user_history is not None:
+                if "hist" in consts:
                     kwargs["history"] = jnp.take(
-                        self.user_history, user_ids, axis=0)
+                        consts["hist"], user_ids, axis=0)
                 logits = self.model.score_candidates(
                     params, cfg, user_ids, jnp.minimum(cand, I - 1),
-                    temporal, self.item_dept, self.item_cat, **kwargs)
+                    temporal, consts.get("dept"), consts.get("cat"),
+                    **kwargs)
                 logits = jnp.where(cand < I, logits, -jnp.inf)
                 cat_v = jnp.concatenate([vals, logits], axis=1)
                 cat_i = jnp.concatenate([idxs, cand], axis=1)
@@ -313,6 +321,9 @@ class BruteForceScorer:
             (vals, idxs), _ = jax.lax.scan(
                 body, init, jnp.arange(nchunks))
             return vals, idxs
+
+        def _scan_topk(params, user_ids, temporal, k):
+            return _scan_topk_impl(params, user_ids, temporal, consts, k)
 
         self._scan_topk = _scan_topk
 
