@@ -95,16 +95,126 @@ class BatchIterator:
             else:
                 idx = np.random.default_rng(seed).permutation(n)
         B = self.batch_size
+        total = self.num_batches * B
+        # pad by repeating indices from the start (data_prep.py:428-439);
+        # np.resize repeats cyclically, matching the old per-batch pad
+        mat = np.resize(idx, total).reshape(self.num_batches, B)
+        if self.sort_by_user:
+            users = self._cols["user_ids"][mat]
+            order = np.argsort(users, axis=1, kind="stable")
+            mat = np.take_along_axis(mat, order, axis=1)
+        # one vectorized gather per 1-D column per epoch (the per-batch
+        # slice+argsort+gather loop measured 2.9 ms/batch at ML-1M scale —
+        # slower than the 1.4 ms device step it feeds); wide extra cols
+        # (e.g. [N, H] causal histories) stay per-batch to bound memory
+        flat = {k: v[mat] for k, v in self._cols.items() if v.ndim == 1}
+        wide = {k: v for k, v in self._cols.items() if v.ndim > 1}
         for b in range(self.num_batches):
-            sl = idx[b * B : (b + 1) * B]
-            if len(sl) < B:
-                # pad by repeating indices (data_prep.py:428-439)
-                pad = idx[: B - len(sl)] if len(idx) >= B - len(sl) else np.resize(sl, B - len(sl))
-                sl = np.concatenate([sl, pad])
-            if self.sort_by_user:
-                sl = sl[np.argsort(self._cols["user_ids"][sl],
-                                   kind="stable")]
-            yield {k: v[sl] for k, v in self._cols.items()}
+            out = {k: v[b] for k, v in flat.items()}
+            for k, v in wide.items():
+                out[k] = v[mat[b]]
+            yield out
+
+
+class DeviceEpochPipeline:
+    """Device-resident input pipeline: the interaction columns are put on
+    device ONCE, and each epoch's shuffled, padded, user-sorted batch
+    matrix is built ON DEVICE by one jitted call.
+
+    Why: at 16k-example batches the train step is ~1.4 ms on a v5e chip,
+    and the host path (BatchIterator + group_batches + device_put) costs
+    ~40 ms per 8-step dispatch at ML-1M scale — 26 ms of NumPy slicing /
+    stacking plus 14 ms of tunnel transfer — so real training ran 8x
+    below the step benchmark.  Here per-epoch host↔device traffic is one
+    PRNG key; the shuffle (jax.random.permutation), the repeat-pad to a
+    whole number of batches (ConsistentBatchSampler semantics,
+    data_prep.py:428-439) and the per-batch user sort all run on device.
+
+    Same batch contract as BatchIterator (+``sort_by_user``); the epoch
+    order differs from the host iterator (device PRNG, not NumPy) but is
+    deterministic per (seed, epoch).  Epoch column matrices live in HBM
+    ([num_batches, B] per column) — gate with ``epoch_bytes()`` before
+    choosing this pipeline for very large logs.
+    """
+
+    def __init__(
+        self,
+        interactions: Interactions,
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        sort_by_user: bool = True,
+        extra_cols: Dict[str, np.ndarray] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_size = B = int(batch_size)
+        self._seed = int(seed)
+        self._shuffle = shuffle
+        n = len(interactions)
+        self._n = n
+        self.num_batches = max(1, -(-n // B))
+
+        hour, day, month, doy = temporal_features(interactions.timestamps)
+        cols: Batch = {
+            "user_ids": interactions.user_ids,
+            "item_ids": interactions.item_ids,
+            "hour": hour,
+            "day": day,
+            "month": month,
+            "day_of_year": doy,
+        }
+        for k, v in (extra_cols or {}).items():
+            if len(v) != n:
+                raise ValueError(
+                    f"extra col {k!r} has {len(v)} rows, expected {n}")
+            cols[k] = v
+        self._dev_cols = {k: jnp.asarray(v) for k, v in cols.items()}
+
+        nb, total = self.num_batches, self.num_batches * B
+
+        def build(key, cols):
+            if shuffle:
+                perm = jax.random.permutation(key, n)
+            else:
+                perm = jnp.arange(n, dtype=jnp.int32)
+            reps = -(-total // n)                      # pad by repeating
+            idx = jnp.tile(perm, reps)[:total].reshape(nb, B)
+            if sort_by_user:
+                users = jnp.take(cols["user_ids"], idx, axis=0)
+                order = jnp.argsort(users, axis=1, stable=True)
+                idx = jnp.take_along_axis(idx, order, axis=1)
+            return {k: jnp.take(v, idx, axis=0) for k, v in cols.items()}
+
+        self._build = jax.jit(build)
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def epoch_bytes(self) -> int:
+        """HBM footprint of one epoch's materialized batch matrices."""
+        total = self.num_batches * self.batch_size
+        return sum(total * int(np.prod(v.shape[1:], dtype=np.int64))
+                   * v.dtype.itemsize for v in self._dev_cols.values())
+
+    def epoch(self, epoch_idx: int = 0,
+              steps_per_dispatch: int = 1) -> Iterator[Batch]:
+        """Yield device-resident batches: [B] columns when
+        ``steps_per_dispatch == 1``, stacked [K, B] groups otherwise
+        (ragged final group at its own size, like group_batches)."""
+        import jax
+
+        key = jax.random.PRNGKey(
+            (self._seed * 1_000_003 + epoch_idx + 1) & 0x7FFFFFFF)
+        arrays = self._build(key, self._dev_cols)
+        nb, K = self.num_batches, int(steps_per_dispatch)
+        if K <= 1:
+            for i in range(nb):
+                yield {k: v[i] for k, v in arrays.items()}
+        else:
+            for i in range(0, nb, K):
+                yield {k: v[i:i + K] for k, v in arrays.items()}
 
 
 def prefetch_to_device(iterator: Iterator[Batch], size: int = 2,

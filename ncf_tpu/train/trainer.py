@@ -87,6 +87,26 @@ class Trainer:
         self.val_iter = BatchIterator(
             val_inter, cfg.train.batch_size, seed=cfg.train.seed, shuffle=False)
 
+        # device-resident epoch pipeline (data/pipeline.py): per-epoch
+        # host<->device traffic is one PRNG key instead of ~40 ms/dispatch
+        # of NumPy batch assembly + tunnel transfer.  Mesh training keeps
+        # the host path (per-process feeding + explicit batch sharding).
+        self.device_pipeline = None
+        if mesh is None and cfg.train.input_pipeline in ("auto", "device"):
+            from ncf_tpu.data.pipeline import DeviceEpochPipeline
+
+            pipe = DeviceEpochPipeline(
+                train_inter, cfg.train.batch_size, seed=cfg.train.seed,
+                extra_cols=train_extra)
+            if (cfg.train.input_pipeline == "device"
+                    or pipe.epoch_bytes() <= cfg.train.device_epoch_max_bytes):
+                self.device_pipeline = pipe
+            else:
+                log.info(
+                    "input_pipeline=auto: epoch (%d MB) exceeds "
+                    "device_epoch_max_bytes; using the host pipeline",
+                    pipe.epoch_bytes() >> 20)
+
         # ---- device constants
         w = train_inter.inverse_popularity_weights()
         self.neg_cdf = make_sampling_cdf(w)
@@ -166,17 +186,21 @@ class Trainer:
         t_epoch = time.perf_counter()
         t_window = t_epoch
         spd = cfg.train.steps_per_dispatch
-        it = self.train_iter.epoch(epoch)
-        shard = self.batch_shard
-        if spd > 1:
-            from ncf_tpu.data.pipeline import group_batches
+        if self.device_pipeline is not None:
+            it = self.device_pipeline.epoch(epoch, steps_per_dispatch=spd)
+        else:
+            it = self.train_iter.epoch(epoch)
+            shard = self.batch_shard
+            if spd > 1:
+                from ncf_tpu.data.pipeline import group_batches
 
-            it = group_batches(it, spd)
-            if shard is not None:
-                from ncf_tpu.parallel import stacked_batch_sharding
+                it = group_batches(it, spd)
+                if shard is not None:
+                    from ncf_tpu.parallel import stacked_batch_sharding
 
-                shard = stacked_batch_sharding(shard.mesh)
-        for batch in prefetch_to_device(it, sharding=shard):
+                    shard = stacked_batch_sharding(shard.mesh)
+            it = prefetch_to_device(it, sharding=shard)
+        for batch in it:
             k = next(iter(batch.values())).shape[0] if spd > 1 else 1
             self.params, self.opt_state, self.rng, metrics = self.train_step(
                 self.params, self.opt_state, self.rng, batch)

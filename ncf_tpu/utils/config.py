@@ -110,6 +110,12 @@ class TrainConfig:
     #                                     convergence-validated) | exact
     #                                     (Pallas split for small tables
     #                                     only) | xla
+    input_pipeline: str = "auto"        # auto (device-resident epochs when
+    #                                     single-device and the epoch fits
+    #                                     device_epoch_max_bytes; host
+    #                                     BatchIterator otherwise) |
+    #                                     device | host
+    device_epoch_max_bytes: int = 2 << 30
     seed: int = 0
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"

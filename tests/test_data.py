@@ -131,3 +131,89 @@ class TestSortByUser:
             rows_s = sorted(zip(bs["user_ids"], bs["item_ids"], bs["hour"]))
             rows_p = sorted(zip(bp["user_ids"], bp["item_ids"], bp["hour"]))
             assert rows_s == rows_p
+
+
+class TestDeviceEpochPipeline:
+    """DeviceEpochPipeline (data/pipeline.py): device-resident epochs must
+    match the BatchIterator batch contract — full coverage with repeat
+    padding, per-batch user sort, deterministic per (seed, epoch)."""
+
+    def _pipe(self, inter, B, **kw):
+        from ncf_tpu.data.pipeline import DeviceEpochPipeline
+
+        return DeviceEpochPipeline(inter, B, seed=3, **kw)
+
+    def test_coverage_and_padding(self, tiny_interactions):
+        B = 64
+        pipe = self._pipe(tiny_interactions, B)
+        n = len(tiny_interactions)
+        batches = list(pipe.epoch(0))
+        assert len(batches) == -(-n // B)
+        seen = np.concatenate(
+            [np.asarray(b["item_ids"]) for b in batches])
+        assert len(seen) == len(batches) * B
+        # every example appears: compare padded multiset minus n extras
+        ref = np.sort(tiny_interactions.item_ids)
+        got = np.sort(seen)
+        # each original item id count is <= got count (padding only adds)
+        ref_counts = dict(zip(*np.unique(ref, return_counts=True)))
+        got_counts = dict(zip(*np.unique(got, return_counts=True)))
+        for k, c in ref_counts.items():
+            assert got_counts.get(k, 0) >= c
+
+    def test_sorted_users_per_batch(self, tiny_interactions):
+        pipe = self._pipe(tiny_interactions, 64)
+        for b in pipe.epoch(1):
+            u = np.asarray(b["user_ids"])
+            assert (np.diff(u.astype(np.int64)) >= 0).all()
+
+    def test_rows_stay_aligned(self, tiny_interactions):
+        """(user, item, hour) triples must come from real examples."""
+        rows = set(zip(tiny_interactions.user_ids.tolist(),
+                       tiny_interactions.item_ids.tolist()))
+        pipe = self._pipe(tiny_interactions, 64)
+        for b in pipe.epoch(0):
+            for u, i in zip(np.asarray(b["user_ids"]),
+                            np.asarray(b["item_ids"])):
+                assert (int(u), int(i)) in rows
+
+    def test_deterministic_and_epoch_varies(self, tiny_interactions):
+        p1 = self._pipe(tiny_interactions, 64)
+        p2 = self._pipe(tiny_interactions, 64)
+        a = np.asarray(next(iter(p1.epoch(0)))["item_ids"])
+        b = np.asarray(next(iter(p2.epoch(0)))["item_ids"])
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(next(iter(p1.epoch(1)))["item_ids"])
+        assert not np.array_equal(a, c)
+
+    def test_grouped_dispatch_shapes(self, tiny_interactions):
+        pipe = self._pipe(tiny_interactions, 64)
+        nb = len(pipe)
+        groups = list(pipe.epoch(0, steps_per_dispatch=4))
+        lead = [g["user_ids"].shape[0] for g in groups]
+        assert sum(lead) == nb
+        assert all(x == 4 for x in lead[:-1])
+        assert groups[0]["user_ids"].ndim == 2
+
+    def test_epoch_bytes(self, tiny_interactions):
+        pipe = self._pipe(tiny_interactions, 64)
+        assert pipe.epoch_bytes() == len(pipe) * 64 * 6 * 4  # 6 int32 cols
+
+    def test_trainer_uses_device_pipeline(self, tiny_interactions):
+        import jax
+
+        from ncf_tpu.train import Trainer
+        from ncf_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg.model.mf_dim = cfg.model.mlp_dim = 8
+        cfg.model.temporal_dim = 8
+        cfg.model.mlp_hidden_dims = [16]
+        cfg.model.compute_dtype = "float32"
+        cfg.train.batch_size = 64
+        cfg.train.num_epochs = 1
+        cfg.train.checkpoint_dir = "/tmp/dev_pipe_ck"
+        t = Trainer(cfg, tiny_interactions)
+        assert t.device_pipeline is not None
+        m = t.train_epoch(0)
+        assert np.isfinite(m.get("loss", 0.0))
