@@ -10,7 +10,7 @@ HBM.
 Implementations with identical call semantics:
 - ``topk_scores_streaming`` — THE production kernel (see its docstring):
   fused MXU matmul + per-segment top-2 (exact value, exact item id) +
-  in-VMEM running top-k merge; 102k users/s over 1M items on v5e.
+  in-VMEM running top-k merge; 157k users/s over 1M items on v5e.
 - ``topk_scores_xla``   — jax.lax.fori_loop over item blocks with a
   lax.top_k merge carry; robust reference.
 - ``topk_scores_pallas``— fused Pallas kernel: MXU matmul per (user tile,
@@ -220,6 +220,33 @@ def topk_scores_pallas(
 
 # ---------------------------------- streaming segmax kernel (the default)
 
+# scoped-VMEM budget for the streaming kernel's working set; the compiler
+# limit is 16 MB and the kernel needs headroom for scratch/temporaries
+_STREAM_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _auto_block_items(d: int, item_bytes: int, tu: int,
+                      seg_width: int) -> int:
+    """Largest power-of-two item block (multiple of seg_width, <=8192)
+    whose streaming-kernel working set fits scoped VMEM.
+
+    Dominant terms per grid step: the [TI, TU] f32 score tile and the
+    double-buffered [TI, lanes] item block, where lanes is D+3 rounded
+    up to the 128-lane tile (TPU buffers lane-pad: a [TI, 67] block
+    occupies 128 lanes).  Before the bias was folded into the matmul,
+    the lane-padded [TI, 1] f32 bias block added 8 MB at TI=8192 and
+    OOMed the f32 default (16.09 MB scoped > the 16 MB v5e limit);
+    this sizing keeps the public default safe for any operand dtype."""
+    lanes = -(-(d + 3) // 128) * 128
+    ti = 8192
+    while ti > seg_width:
+        work = (ti * tu * 4                  # f32 score tile
+                + ti * lanes * item_bytes * 2)  # double-buffered items
+        if work <= _STREAM_VMEM_BUDGET:
+            break
+        ti //= 2
+    return max(ti, seg_width)
+
 def _extract_topk_rows(scores: jax.Array, row_ids: jax.Array, k: int):
     """Top-k over axis 0 (sublanes) of ``scores [R, C]``; ``row_ids``
     carries an int32 label per element.  Returns (vals [k, C],
@@ -240,16 +267,22 @@ def _extract_topk_rows(scores: jax.Array, row_ids: jax.Array, k: int):
 
 
 def _streaming_kernel(num_items, block_items, seg_width, k, seg_top,
-                      t_ref, q_ref, b_ref, vout, iout, vals_c, idx_c):
+                      t_ref, q_ref, vout, iout, vals_c, idx_c):
     """Grid (user_tiles, item_blocks), item minor: the per-user-tile
     running top-k (value, item-id) carry lives in [k, TU] VMEM scratch.
 
     Scores are computed ITEMS-ON-SUBLANES ([TI, TU]) so the per-segment
-    max is a sublane-group tree reduction and the per-item bias is a
-    [TI, 1] column broadcast — both cheap on the VPU.  Each segment
-    surfaces its top ``seg_top`` (value, exact global item id) pairs via
-    argmax-by-equality; the merge keeps exact f32 scores end to end
-    (no key quantization)."""
+    max is a sublane-group tree reduction.  The per-item bias arrives
+    FOLDED INTO THE MATMUL: the caller appends three bf16-exact bias
+    term columns to the item block and matching ones-columns to the
+    queries (see ``topk_scores_streaming``), so there is no [TI, 1]
+    bias operand — that block lane-pads to 128 on TPU (4 MB per buffer
+    at TI=8192, 8 MB double-buffered) and was the kernel's largest VMEM
+    consumer — and padded rows carry NEG_INF bias, so no validity mask
+    pass either.
+    Each segment surfaces its top ``seg_top`` (value, exact global item
+    id) pairs via argmax-by-equality; the merge keeps exact f32 scores
+    end to end (no key quantization)."""
     i = pl.program_id(1)
     ni = pl.num_programs(1)
     TU = q_ref.shape[0]
@@ -263,10 +296,6 @@ def _streaming_kernel(num_items, block_items, seg_width, k, seg_top,
     scores = jax.lax.dot_general(
         t_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                     # [TI, TU]
-    scores = scores + b_ref[:]                                  # [TI,1] bcast
-    grow = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) \
-        + i * block_items
-    scores = jnp.where(grow < num_items, scores, NEG_INF)
 
     s3 = scores.reshape(nseg, seg_width, TU)
     seg_base = (jax.lax.broadcasted_iota(jnp.int32, (nseg, TU), 0) * seg_width
@@ -308,7 +337,7 @@ def topk_scores_streaming(
     items: jax.Array,              # [I, D]
     k: int = 10,
     bias: Optional[jax.Array] = None,
-    block_items: int = 8192,
+    block_items: Optional[int] = None,
     user_tile: int = 256,
     seg_width: int = 128,
     seg_top: int = 2,
@@ -331,19 +360,32 @@ def topk_scores_streaming(
     whenever items within a segment are uncorrelated.
 
     Measured (TPU v5e, chained scan timing): B=1024 x I=1M x D=64 with
-    bias in 10.0 ms — 102k users/s/chip — vs 34 ms for the superseded
-    segmented kernel and 9.4 ms (OOM-bound) for one-shot XLA
-    matmul+approx_max_k.  MXU-pass-bound: ~B*I/(128*128) pipeline passes
-    at contraction K=D, so wider D improves efficiency for free.
+    bias in 6.5 ms (bf16 operands, 157k users/s/chip; f32 9.2 ms) — vs
+    34 ms for the superseded segmented kernel and 9.4 ms (OOM-bound) for
+    one-shot XLA matmul+approx_max_k.  This is near the MXU OUTPUT-bound
+    roofline: the systolic array retires one 128x128 output tile per
+    ~128-cycle pass, so the matmul floor is B*I/128 cycles (~8.5 ms at
+    940 MHz) REGARDLESS of the contraction depth K=D<=128 — wider D is
+    free, and block/tile parameter changes cannot move it (measured
+    invariant across block_items 4-32k, user_tile 128-512, seg_top 1-2).
+
+    ``block_items=None`` picks the largest block whose working set fits
+    the ~16 MB scoped-VMEM budget (the [TI, TU] f32 score tile + the
+    double-buffered item block dominate); f32 operands at I>=1M OOM the
+    default 8192 block, bf16 fits.
     """
     if seg_width & (seg_width - 1):
         raise ValueError("seg_width must be a power of two")
-    if block_items % seg_width:
-        raise ValueError("block_items must be a multiple of seg_width")
     if seg_top not in (1, 2):
         raise ValueError("seg_top must be 1 or 2")
     B, D = queries.shape
     I = items.shape[0]
+    if block_items is None:
+        block_items = _auto_block_items(
+            D, jnp.dtype(items.dtype).itemsize,
+            min(user_tile, max(8, -(-B // 8) * 8)), seg_width)
+    if block_items % seg_width:
+        raise ValueError("block_items must be a multiple of seg_width")
     k = min(k, I)
     TU = min(user_tile, max(8, -(-B // 8) * 8))
     Bpad = -(-B // TU) * TU
@@ -352,11 +394,41 @@ def topk_scores_streaming(
     Ipad = nblocks * block_items
     nseg = block_items // seg_width
 
-    q = jnp.pad(queries, ((0, Bpad - B), (0, 0)))
-    t = jnp.pad(items, ((0, Ipad - I), (0, 0)))
-    b2 = jnp.zeros((Ipad, 1), jnp.float32)
-    if bias is not None:
-        b2 = b2.at[:I, 0].set(bias.astype(jnp.float32))
+    # Fold bias into the matmul as THREE item columns, each a
+    # bf16-EXACT term of the f32 bias (hi = bf16(b), mid = bf16(b-hi),
+    # lo = bf16(residual)), against three ones-columns on the queries.
+    # The MXU truncates matmul operands to bf16 passes even for f32
+    # inputs (measured: a single f32 hi column lost ~4e-4 relative),
+    # so each column must be bf16-representable for the fold to be
+    # lossless; three terms reconstruct the f32 bias to ~2^-24
+    # relative inside the f32 accumulator.  Lanes pad to 128 anyway
+    # (D<=125), so the extra columns are free.  Padded item rows get
+    # hi = NEG_INF, which also replaces the padded-row validity mask
+    # the kernel used to apply per tile.
+    dt = items.dtype
+    b32 = (bias.astype(jnp.float32) if bias is not None
+           else jnp.zeros((I,), jnp.float32))
+    # NOT .astype(bf16).astype(f32): XLA's allow_excess_precision (on by
+    # default) elides downcast-upcast round-trips, which collapses the
+    # split to (b32, 0, 0) and loses the low bits in the MXU pass
+    # (measured ~4e-4 relative).  reduce_precision is the primitive that
+    # survives the simplifier.
+    _bf16 = functools.partial(jax.lax.reduce_precision,
+                              exponent_bits=8, mantissa_bits=7)
+    hi = _bf16(b32)
+    mid = _bf16(b32 - hi)
+    lo = _bf16(b32 - hi - mid)
+    hi = jnp.pad(hi.astype(dt), (0, Ipad - I), constant_values=NEG_INF)
+    mid = jnp.pad(mid.astype(dt), (0, Ipad - I))
+    lo = jnp.pad(lo.astype(dt), (0, Ipad - I))
+    t = jnp.concatenate(
+        [jnp.pad(items, ((0, Ipad - I), (0, 0))),
+         hi[:, None], mid[:, None], lo[:, None]], axis=1)
+    ones = jnp.ones((Bpad, 1), dt)
+    q = jnp.concatenate(
+        [jnp.pad(queries.astype(dt), ((0, Bpad - B), (0, 0))),
+         ones, ones, ones], axis=1)
+    Dk = D + 3
 
     kernel = functools.partial(
         _streaming_kernel, I, block_items, seg_width, k, seg_top)
@@ -364,11 +436,9 @@ def topk_scores_streaming(
         kernel,
         grid=(n_utiles, nblocks),
         in_specs=[
-            pl.BlockSpec((block_items, D), lambda j, i: (i, 0),
+            pl.BlockSpec((block_items, Dk), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TU, D), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((TU, Dk), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -386,12 +456,12 @@ def topk_scores_streaming(
             pltpu.VMEM((k, TU), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bpad * Ipad * D,
-            bytes_accessed=(Bpad * D + Ipad * D * n_utiles) * 2
+            flops=2 * Bpad * Ipad * Dk,
+            bytes_accessed=(Bpad * Dk + Ipad * Dk * n_utiles) * 2
             + Bpad * k * 8,
             transcendentals=0),
         interpret=interpret,
-    )(t, q, b2)
+    )(t, q)
     return vals.T[:B], jnp.minimum(idxs.T[:B], I - 1)
 
 

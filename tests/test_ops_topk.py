@@ -196,6 +196,39 @@ class TestStreamingTopk:
         for r in range(ids.shape[0]):
             assert len(set(ids[r])) == len(ids[r])
 
+    def test_auto_block_items_fits_vmem(self):
+        # the public default (block_items=None) must never pick a block
+        # whose score tile + double-buffered lane-padded item block
+        # exceeds the scoped-VMEM budget (f32 at the old fixed 8192
+        # default measured 16.09 MB > the 16 MB v5e limit and crashed)
+        from ncf_tpu.ops.topk import _STREAM_VMEM_BUDGET, _auto_block_items
+
+        assert _auto_block_items(64, 2, 256, 128) == 8192   # bf16 keeps 8k
+        assert _auto_block_items(64, 4, 256, 128) <= 4096   # f32 shrinks
+        for d in (16, 64, 128, 256):
+            for nbytes in (2, 4):
+                for tu in (8, 128, 256, 512):
+                    ti = _auto_block_items(d, nbytes, tu, 128)
+                    lanes = -(-(d + 3) // 128) * 128
+                    assert ti % 128 == 0
+                    assert (ti * tu * 4 + ti * lanes * nbytes * 2
+                            <= _STREAM_VMEM_BUDGET) or ti == 128
+
+    def test_default_block_items_auto(self):
+        # block_items=None end-to-end (interpret): matches exact
+        from ncf_tpu.ops.topk import topk_scores_streaming
+
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(9000, 32)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(9000,)), jnp.float32)
+        vs, ids = topk_scores_streaming(
+            q, t, k=10, bias=b, user_tile=8, interpret=True)
+        vx, ix = topk_scores_xla(q, t, k=10, bias=b)
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vx),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ix))
+
     def test_dispatch_streaming(self):
         from ncf_tpu.ops.topk import topk_scores
 
