@@ -1,6 +1,8 @@
 from ncf_tpu.ops.embedding import embedding_lookup, get_impl, set_impl
 from ncf_tpu.ops.pallas_attention import fused_single_query_attention
 from ncf_tpu.ops.topk import (
+    PreparedItems,
+    prepare_items,
     topk_scores,
     topk_scores_dense,
     topk_scores_pallas,
@@ -14,6 +16,8 @@ __all__ = [
     "get_impl",
     "set_impl",
     "fused_single_query_attention",
+    "PreparedItems",
+    "prepare_items",
     "topk_scores",
     "topk_scores_dense",
     "topk_scores_pallas",

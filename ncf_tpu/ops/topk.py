@@ -10,7 +10,7 @@ HBM.
 Implementations with identical call semantics:
 - ``topk_scores_streaming`` — THE production kernel (see its docstring):
   fused MXU matmul + per-segment top-2 (exact value, exact item id) +
-  in-VMEM running top-k merge; 157k users/s over 1M items on v5e.
+  in-VMEM running top-k merge; 319k users/s over 1M items on v5e (prepared table).
 - ``topk_scores_xla``   — jax.lax.fori_loop over item blocks with a
   lax.top_k merge carry; robust reference.
 - ``topk_scores_pallas``— fused Pallas kernel: MXU matmul per (user tile,
@@ -225,6 +225,105 @@ def topk_scores_pallas(
 _STREAM_VMEM_BUDGET = 12 * 1024 * 1024
 
 
+class PreparedItems:
+    """A pre-augmented item table for ``topk_scores_streaming``.
+
+    Building the kernel operand — pad the catalog to a block multiple and
+    fold the bias in as three bf16-exact columns — costs a full copy of
+    the table (~134 MB at 1M x 64 bf16) and XLA re-materializes it on
+    EVERY call when done inline: measured 6.4 ms/call at B=1024 x I=1M,
+    of which only ~2.0 ms is the kernel.  The item table is static per
+    model version (rebuilt on index refresh), so serving prepares it once
+    and streams queries against it: 3.3 ms/call (seg_top=2).
+
+    Construct via :func:`prepare_items`.  Registered as a pytree (the
+    table is the only child; shape metadata is static aux), so it passes
+    through jit/scan unchanged.
+    """
+
+    def __init__(self, table: jax.Array, num_items: int, dim: int,
+                 block_items: int, seg_width: int):
+        self.table = table            # [Ipad, dim + 3], bias folded
+        self.num_items = num_items
+        self.dim = dim
+        self.block_items = block_items
+        self.seg_width = seg_width
+
+    def tree_flatten(self):
+        return ((self.table,), (self.num_items, self.dim,
+                                self.block_items, self.seg_width))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    PreparedItems,
+    lambda p: p.tree_flatten(),
+    PreparedItems.tree_unflatten)
+
+
+def _fold_bias_columns(items: jax.Array, bias: Optional[jax.Array],
+                       ipad: int) -> jax.Array:
+    """[I, D] + bias [I] -> [Ipad, D+3]: the streaming kernel's item
+    operand.  The bias rides the MXU matmul as THREE bf16-exact term
+    columns (hi = bf16(b), mid = bf16(b-hi), lo = bf16(residual)) against
+    ones-columns on the queries: the MXU truncates matmul operands to
+    bf16 passes even for f32 inputs, so each column must be
+    bf16-representable for the fold to be lossless; three terms
+    reconstruct the f32 bias to ~2^-24 relative inside the f32
+    accumulator.  Lanes pad to 128 anyway (D<=125), so the extra columns
+    are free.  Padded item rows get hi = NEG_INF, which also replaces
+    the padded-row validity mask the kernel used to apply per tile."""
+    I = items.shape[0]
+    dt = items.dtype
+    b32 = (bias.astype(jnp.float32) if bias is not None
+           else jnp.zeros((I,), jnp.float32))
+    # NOT .astype(bf16).astype(f32): XLA's allow_excess_precision (on by
+    # default) elides downcast-upcast round-trips, which collapses the
+    # split to (b32, 0, 0) and loses the low bits in the MXU pass
+    # (measured ~4e-4 relative).  reduce_precision is the primitive that
+    # survives the simplifier.
+    _bf16 = functools.partial(jax.lax.reduce_precision,
+                              exponent_bits=8, mantissa_bits=7)
+    hi = _bf16(b32)
+    mid = _bf16(b32 - hi)
+    lo = _bf16(b32 - hi - mid)
+    hi = jnp.pad(hi.astype(dt), (0, ipad - I), constant_values=NEG_INF)
+    mid = jnp.pad(mid.astype(dt), (0, ipad - I))
+    lo = jnp.pad(lo.astype(dt), (0, ipad - I))
+    return jnp.concatenate(
+        [jnp.pad(items, ((0, ipad - I), (0, 0))),
+         hi[:, None], mid[:, None], lo[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block_items", "seg_width", "user_tile"))
+def prepare_items(
+    items: jax.Array,              # [I, D]
+    bias: Optional[jax.Array] = None,   # [I]
+    block_items: Optional[int] = None,
+    seg_width: int = 128,
+    user_tile: int = 256,
+) -> PreparedItems:
+    """Build the streaming kernel's item operand ONCE (pad to a block
+    multiple + fold the bias — see :class:`PreparedItems`).  Pass the
+    result as ``items`` to ``topk_scores_streaming``/``topk_scores``
+    (with ``bias=None``: it is baked in).  ``user_tile`` here is the
+    LARGEST user tile later calls will use — the auto block sizing is
+    conservative in it."""
+    I, D = items.shape
+    if block_items is None:
+        block_items = _auto_block_items(
+            D, jnp.dtype(items.dtype).itemsize, user_tile, seg_width)
+    if block_items % seg_width:
+        raise ValueError("block_items must be a multiple of seg_width")
+    nblocks = -(-I // block_items)
+    table = _fold_bias_columns(items, bias, nblocks * block_items)
+    return PreparedItems(table, I, D, block_items, seg_width)
+
+
 def _auto_block_items(d: int, item_bytes: int, tu: int,
                       seg_width: int) -> int:
     """Largest power-of-two item block (multiple of seg_width, <=8192)
@@ -359,33 +458,52 @@ def topk_scores_streaming(
     1.0 on random 1M-item catalogs (tests/test_ops_topk.py); exactly 1.0
     whenever items within a segment are uncorrelated.
 
-    Measured (TPU v5e, chained scan timing): B=1024 x I=1M x D=64 with
-    bias in 6.5 ms (bf16 operands, 157k users/s/chip; f32 9.2 ms) — vs
-    34 ms for the superseded segmented kernel and 9.4 ms (OOM-bound) for
-    one-shot XLA matmul+approx_max_k.  This is near the MXU OUTPUT-bound
-    roofline: the systolic array retires one 128x128 output tile per
-    ~128-cycle pass, so the matmul floor is B*I/128 cycles (~8.5 ms at
-    940 MHz) REGARDLESS of the contraction depth K=D<=128 — wider D is
-    free, and block/tile parameter changes cannot move it (measured
-    invariant across block_items 4-32k, user_tile 128-512, seg_top 1-2).
+    Measured (TPU v5e, chained scan timing, B=1024 x I=1M x D=64 bf16
+    with bias): 6.5 ms/call with the item operand built inline, of which
+    only ~2.0 ms is the kernel (seg_top=1 body; +1.4 ms for the
+    seg_top=2 second-best block) — the rest is XLA re-materializing the
+    padded+bias-folded item table every call.  Pass a
+    :class:`PreparedItems` (see :func:`prepare_items`) to pay that once:
+    3.3 ms/call at seg_top=2.  Kernel anatomy (ablated): the matmul
+    floor is ~1.5 ms — the four MXUs retire 128x128 output tiles at
+    ~512 outputs/cycle regardless of contraction depth K=D<=128 — and
+    the per-segment max + eq-argmax VPU passes hide entirely under the
+    MXU; the seg_top=2 re-reduction exceeds the overlap budget and
+    costs ~1.4 ms.  The superseded segmented kernel measured 34 ms and
+    one-shot XLA matmul+approx_max_k 9.4 ms (OOM-bound).
 
     ``block_items=None`` picks the largest block whose working set fits
     the ~16 MB scoped-VMEM budget (the [TI, TU] f32 score tile + the
     double-buffered item block dominate); f32 operands at I>=1M OOM the
     default 8192 block, bf16 fits.
     """
-    if seg_width & (seg_width - 1):
-        raise ValueError("seg_width must be a power of two")
     if seg_top not in (1, 2):
         raise ValueError("seg_top must be 1 or 2")
-    B, D = queries.shape
-    I = items.shape[0]
-    if block_items is None:
-        block_items = _auto_block_items(
-            D, jnp.dtype(items.dtype).itemsize,
-            min(user_tile, max(8, -(-B // 8) * 8)), seg_width)
-    if block_items % seg_width:
-        raise ValueError("block_items must be a multiple of seg_width")
+    B = queries.shape[0]
+    if isinstance(items, PreparedItems):
+        if bias is not None:
+            raise ValueError(
+                "bias must be None with PreparedItems (it is baked in)")
+        if block_items is not None and block_items != items.block_items:
+            raise ValueError("block_items fixed at prepare_items time")
+        I, D = items.num_items, items.dim
+        seg_width = items.seg_width
+        block_items = items.block_items
+        t = items.table
+        dt = t.dtype
+    else:
+        I, D = items.shape
+        dt = items.dtype
+        if block_items is None:
+            block_items = _auto_block_items(
+                D, jnp.dtype(dt).itemsize,
+                min(user_tile, max(8, -(-B // 8) * 8)), seg_width)
+        if block_items % seg_width:
+            raise ValueError("block_items must be a multiple of seg_width")
+        t = _fold_bias_columns(
+            items, bias, -(-I // block_items) * block_items)
+    if seg_width & (seg_width - 1):
+        raise ValueError("seg_width must be a power of two")
     k = min(k, I)
     TU = min(user_tile, max(8, -(-B // 8) * 8))
     Bpad = -(-B // TU) * TU
@@ -394,36 +512,6 @@ def topk_scores_streaming(
     Ipad = nblocks * block_items
     nseg = block_items // seg_width
 
-    # Fold bias into the matmul as THREE item columns, each a
-    # bf16-EXACT term of the f32 bias (hi = bf16(b), mid = bf16(b-hi),
-    # lo = bf16(residual)), against three ones-columns on the queries.
-    # The MXU truncates matmul operands to bf16 passes even for f32
-    # inputs (measured: a single f32 hi column lost ~4e-4 relative),
-    # so each column must be bf16-representable for the fold to be
-    # lossless; three terms reconstruct the f32 bias to ~2^-24
-    # relative inside the f32 accumulator.  Lanes pad to 128 anyway
-    # (D<=125), so the extra columns are free.  Padded item rows get
-    # hi = NEG_INF, which also replaces the padded-row validity mask
-    # the kernel used to apply per tile.
-    dt = items.dtype
-    b32 = (bias.astype(jnp.float32) if bias is not None
-           else jnp.zeros((I,), jnp.float32))
-    # NOT .astype(bf16).astype(f32): XLA's allow_excess_precision (on by
-    # default) elides downcast-upcast round-trips, which collapses the
-    # split to (b32, 0, 0) and loses the low bits in the MXU pass
-    # (measured ~4e-4 relative).  reduce_precision is the primitive that
-    # survives the simplifier.
-    _bf16 = functools.partial(jax.lax.reduce_precision,
-                              exponent_bits=8, mantissa_bits=7)
-    hi = _bf16(b32)
-    mid = _bf16(b32 - hi)
-    lo = _bf16(b32 - hi - mid)
-    hi = jnp.pad(hi.astype(dt), (0, Ipad - I), constant_values=NEG_INF)
-    mid = jnp.pad(mid.astype(dt), (0, Ipad - I))
-    lo = jnp.pad(lo.astype(dt), (0, Ipad - I))
-    t = jnp.concatenate(
-        [jnp.pad(items, ((0, Ipad - I), (0, 0))),
-         hi[:, None], mid[:, None], lo[:, None]], axis=1)
     ones = jnp.ones((Bpad, 1), dt)
     q = jnp.concatenate(
         [jnp.pad(queries.astype(dt), ((0, Bpad - B), (0, 0))),
@@ -614,7 +702,12 @@ def topk_scores(
     ~0.5 GB score matrices) while never materializing [B, I]; small
     catalogs use the exact dense path (cheap and exact).  The streaming
     kernel unrolls k extraction rounds, so very large k routes to the
-    blocked XLA path instead."""
+    blocked XLA path instead.
+
+    ``items`` may be a :class:`PreparedItems` (bias baked in) — always
+    routed to the streaming kernel."""
+    if isinstance(items, PreparedItems):
+        return topk_scores_streaming(queries, items, min(k, items.num_items))
     k = min(k, items.shape[0])
     if impl == "auto":
         small = queries.shape[0] * items.shape[0] * 4 <= 64 * 2**20

@@ -229,6 +229,42 @@ class TestStreamingTopk:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(ix))
 
+    def test_prepared_items_parity(self):
+        # prepare_items + streaming == inline streaming == exact XLA
+        from ncf_tpu.ops.topk import (prepare_items, topk_scores,
+                                      topk_scores_streaming)
+
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(5000, 32)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(5000,)), jnp.float32)
+        prep = prepare_items(t, b, block_items=1024)
+        assert prep.table.shape == (5120, 35)      # padded + 3 bias cols
+        assert prep.num_items == 5000 and prep.dim == 32
+        vp, ip = topk_scores_streaming(q, prep, k=10, user_tile=8,
+                                       interpret=True)
+        vi, ii = topk_scores_streaming(q, t, k=10, bias=b, block_items=1024,
+                                       user_tile=8, interpret=True)
+        vx, ix = topk_scores_xla(q, t, k=10, bias=b)
+        np.testing.assert_array_equal(np.asarray(ip), np.asarray(ii))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vi))
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+        # dispatcher routes PreparedItems to streaming
+        with pytest.raises(ValueError):
+            topk_scores_streaming(q, prep, k=10, bias=b)
+
+    def test_prepared_items_is_pytree(self):
+        from ncf_tpu.ops.topk import prepare_items
+
+        t = jnp.ones((300, 16), jnp.float32)
+        prep = prepare_items(t, None, block_items=128)
+        leaves, treedef = jax.tree_util.tree_flatten(prep)
+        assert len(leaves) == 1
+        back = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert back.num_items == 300 and back.block_items == 128
+
     def test_dispatch_streaming(self):
         from ncf_tpu.ops.topk import topk_scores
 
