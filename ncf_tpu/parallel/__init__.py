@@ -1,4 +1,5 @@
 from ncf_tpu.parallel.embedding_sharding import ShardedEmbedding
+from ncf_tpu.parallel.sharded_topk import shard_items, sharded_topk_scores
 from ncf_tpu.parallel.multihost import (
     initialize_distributed,
     is_primary,
@@ -36,4 +37,6 @@ __all__ = [
     "replicated",
     "shard_pytree",
     "pad_rows",
+    "shard_items",
+    "sharded_topk_scores",
 ]
