@@ -455,8 +455,16 @@ def topk_scores_streaming(
     Recall: an item is missed only when > ``seg_top`` of the true top-k
     land in one ``seg_width``-item segment — probability ~C(k, seg_top+1)
     * (seg_width/I)^seg_top; ~2e-6 for k=10, seg_top=2, I=1e6.  Measured
-    1.0 on random 1M-item catalogs (tests/test_ops_topk.py); exactly 1.0
-    whenever items within a segment are uncorrelated.
+    ladder (TPU v5e, B=1024 x I=1M x D=64 bf16, prepared table, k=10):
+
+        seg_width=128 seg_top=2   3.21 ms  319k users/s  recall 1.00000
+        seg_width=64  seg_top=1   1.89 ms  542k users/s  recall 0.99980
+        seg_width=128 seg_top=1   2.01 ms  510k users/s  recall 0.99932
+
+    seg_top=1 runs at the matmul floor (its VPU extraction hides fully
+    under the four MXUs); halving seg_width buys back most of the
+    recall for free since the miss probability is linear in seg_width
+    at seg_top=1.  The exact default stays (128, 2).
 
     Measured (TPU v5e, chained scan timing, B=1024 x I=1M x D=64 bf16
     with bias): 6.5 ms/call with the item operand built inline, of which
@@ -694,20 +702,23 @@ def topk_scores(
     k: int = 10,
     bias: Optional[jax.Array] = None,
     impl: str = "auto",
+    seg_top: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Dispatch.  'auto' (measured on TPU v5e, B=1024, I=1M, chained
-    timing): the streaming segmax kernel (10.0 ms, exact scores, recall
-    1.0 measured) beats the superseded key-packing segmented kernel
-    (34 ms) 3.4x and one-shot matmul+approx_max_k (9.4 ms but OOMs past
-    ~0.5 GB score matrices) while never materializing [B, I]; small
+    timing): the streaming segmax kernel (3.2 ms prepared, exact scores,
+    recall 1.0 measured) beats the superseded key-packing segmented
+    kernel (34 ms) and one-shot matmul+approx_max_k (9.4 ms but OOMs
+    past ~0.5 GB score matrices) while never materializing [B, I]; small
     catalogs use the exact dense path (cheap and exact).  The streaming
     kernel unrolls k extraction rounds, so very large k routes to the
     blocked XLA path instead.
 
     ``items`` may be a :class:`PreparedItems` (bias baked in) — always
-    routed to the streaming kernel."""
+    routed to the streaming kernel.  ``seg_top`` applies to the
+    streaming kernel only (see its recall ladder)."""
     if isinstance(items, PreparedItems):
-        return topk_scores_streaming(queries, items, min(k, items.num_items))
+        return topk_scores_streaming(
+            queries, items, min(k, items.num_items), seg_top=seg_top)
     k = min(k, items.shape[0])
     if impl == "auto":
         small = queries.shape[0] * items.shape[0] * 4 <= 64 * 2**20
@@ -722,7 +733,8 @@ def topk_scores(
     if impl == "pallas":
         return topk_scores_pallas(queries, items, k, bias)
     if impl == "streaming":
-        return topk_scores_streaming(queries, items, k, bias)
+        return topk_scores_streaming(queries, items, k, bias,
+                                     seg_top=seg_top)
     if impl == "segmented":
         return topk_scores_segmented(queries, items, k, bias)
     return topk_scores_xla(queries, items, k, bias)

@@ -121,6 +121,19 @@ class TestScorerDecomposition:
                                "day_of_year": 33})
         assert not np.allclose(np.asarray(b1), np.asarray(b3))
 
+    def test_retrieval_presets(self, setup):
+        inter, cfg, params = setup
+        fast = AdvancedNCFScorer(params, cfg.model, retrieval="fast")
+        exact = AdvancedNCFScorer(params, cfg.model, retrieval="exact")
+        users = np.asarray([0, 1, 2])
+        # small catalog routes both to the exact dense path: identical
+        vf, idf = fast.topk_for_users(users, k=5)
+        ve, ide = exact.topk_for_users(users, k=5)
+        np.testing.assert_array_equal(idf, ide)
+        np.testing.assert_allclose(vf, ve, rtol=1e-6)
+        with pytest.raises(ValueError):
+            AdvancedNCFScorer(params, cfg.model, retrieval="turbo")
+
 
 class TestBruteForceScorer:
     def test_matches_advanced_scorer(self, setup):
