@@ -93,7 +93,8 @@ class ModelServer:
             if (self.cfg.model.name == "advanced_ncf"
                     and not self.cfg.model.use_sequence):
                 self.scorer = AdvancedNCFScorer(
-                    params, self.cfg.model, self.item_dept, self.item_cat)
+                    params, self.cfg.model, self.item_dept, self.item_cat,
+                    retrieval=self.cfg.serving.retrieval)
             else:
                 self.scorer = BruteForceScorer(
                     self.model, params, self.cfg.model,

@@ -148,6 +148,10 @@ class ServingConfig:
     host: str = "127.0.0.1"
     port: int = 8080
     model_version: str = "0.1.0"
+    # streaming-kernel recall/speed preset: 'exact' (recall 1.0) or
+    # 'fast' (recall ~0.9998, ~1.7x retrieval QPS) — see
+    # serving.scorer.AdvancedNCFScorer
+    retrieval: str = "exact"
 
 
 @dataclass
