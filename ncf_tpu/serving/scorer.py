@@ -291,17 +291,23 @@ class AdvancedNCFScorer:
 def _filter_excluded(vals: np.ndarray, idxs: np.ndarray,
                      exclude: np.ndarray, k: int):
     """Drop per-row excluded item ids from over-fetched top-k results,
-    keeping the first k survivors (host-side; result rows already sorted).
-    ``exclude``: [B, H] item ids padded with -1."""
+    keeping the first k survivors (host-side; result rows already
+    sorted).  ``exclude``: [B, H] item ids padded with -1.  Vectorized —
+    the previous per-row Python loop cost ~B*fetch interpreter
+    iterations per serving request."""
     B, fetch = idxs.shape
-    out_v = np.full((B, k), -np.inf, vals.dtype)
-    out_i = np.zeros((B, k), np.int32)
-    for r in range(B):
-        seen = set(int(x) for x in exclude[r] if x >= 0)
-        keep = [c for c in range(fetch) if int(idxs[r, c]) not in seen][:k]
-        out_v[r, :len(keep)] = vals[r, keep]
-        out_i[r, :len(keep)] = idxs[r, keep]
-    return out_v, out_i
+    hit = (idxs[:, :, None] == exclude[:, None, :]).any(-1)   # [B, fetch]
+    # stable order of survivors: rank candidates by (excluded, column)
+    order = np.argsort(hit, axis=1, kind="stable")[:, :k]     # [B, k]
+    keep_v = np.take_along_axis(vals, order, axis=1)
+    keep_i = np.take_along_axis(idxs, order, axis=1)
+    # slots that ran out of survivors keep the pad convention
+    n_keep = (~hit).sum(axis=1, keepdims=True)                # [B, 1]
+    slot = np.arange(k)[None, :]
+    out_v = np.where(slot < n_keep, keep_v,
+                     np.array(-np.inf, vals.dtype))
+    out_i = np.where(slot < n_keep, keep_i, 0).astype(np.int32)
+    return out_v.astype(vals.dtype), out_i
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:

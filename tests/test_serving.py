@@ -121,6 +121,19 @@ class TestScorerDecomposition:
                                "day_of_year": 33})
         assert not np.allclose(np.asarray(b1), np.asarray(b3))
 
+    def test_filter_excluded_vectorized(self):
+        from ncf_tpu.serving.scorer import _filter_excluded
+
+        vals = np.asarray([[9., 8., 7., 6.], [4., 3., 2., 1.]], np.float32)
+        idxs = np.asarray([[10, 11, 12, 13], [20, 21, 22, 23]], np.int32)
+        exclude = np.asarray([[11, -1, -1], [20, 22, 23]], np.int32)
+        v, i = _filter_excluded(vals, idxs, exclude, k=3)
+        # row 0: drop 11 -> [10, 12, 13]; row 1: only 21 survives
+        np.testing.assert_array_equal(i[0], [10, 12, 13])
+        np.testing.assert_allclose(v[0], [9., 7., 6.])
+        assert i[1][0] == 21 and v[1][0] == 3.
+        assert np.isneginf(v[1][1:]).all() and (i[1][1:] == 0).all()
+
     def test_retrieval_presets(self, setup):
         inter, cfg, params = setup
         fast = AdvancedNCFScorer(params, cfg.model, retrieval="fast")
