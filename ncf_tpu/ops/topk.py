@@ -242,20 +242,33 @@ class PreparedItems:
     """
 
     def __init__(self, table: jax.Array, num_items: int, dim: int,
-                 block_items: int, seg_width: int):
+                 block_items: int, seg_width: int, user_tile: int = 256):
         self.table = table            # [Ipad, dim + 3], bias folded
         self.num_items = num_items
         self.dim = dim
         self.block_items = block_items
         self.seg_width = seg_width
+        self.user_tile = user_tile    # max tile the block sizing assumed
 
     def tree_flatten(self):
         return ((self.table,), (self.num_items, self.dim,
-                                self.block_items, self.seg_width))
+                                self.block_items, self.seg_width,
+                                self.user_tile))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+    def unfold(self) -> Tuple[jax.Array, jax.Array]:
+        """Recover ``(items [I, D], bias [I])`` from the augmented
+        table (bias exact to ~2^-24 — the sum of its three bf16-exact
+        term columns).  Used when a call must route to a non-streaming
+        implementation (e.g. very large k)."""
+        t = self.table[:self.num_items]
+        bias = (t[:, self.dim].astype(jnp.float32)
+                + t[:, self.dim + 1].astype(jnp.float32)
+                + t[:, self.dim + 2].astype(jnp.float32))
+        return t[:, :self.dim], bias
 
 
 jax.tree_util.register_pytree_node(
@@ -321,7 +334,7 @@ def prepare_items(
         raise ValueError("block_items must be a multiple of seg_width")
     nblocks = -(-I // block_items)
     table = _fold_bias_columns(items, bias, nblocks * block_items)
-    return PreparedItems(table, I, D, block_items, seg_width)
+    return PreparedItems(table, I, D, block_items, seg_width, user_tile)
 
 
 def _auto_block_items(d: int, item_bytes: int, tu: int,
@@ -365,7 +378,7 @@ def _extract_topk_rows(scores: jax.Array, row_ids: jax.Array, k: int):
     return jnp.concatenate(vals, 0), jnp.concatenate(ids, 0)
 
 
-def _streaming_kernel(num_items, block_items, seg_width, k, seg_top,
+def _streaming_kernel(block_items, seg_width, k, seg_top,
                       t_ref, q_ref, vout, iout, vals_c, idx_c):
     """Grid (user_tiles, item_blocks), item minor: the per-user-tile
     running top-k (value, item-id) carry lives in [k, TU] VMEM scratch.
@@ -438,7 +451,7 @@ def topk_scores_streaming(
     bias: Optional[jax.Array] = None,
     block_items: Optional[int] = None,
     user_tile: int = 256,
-    seg_width: int = 128,
+    seg_width: Optional[int] = None,   # None: prepared value, else 128
     seg_top: int = 2,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -488,24 +501,34 @@ def topk_scores_streaming(
     if seg_top not in (1, 2):
         raise ValueError("seg_top must be 1 or 2")
     B = queries.shape[0]
+    TU = min(user_tile, max(8, -(-B // 8) * 8))
     if isinstance(items, PreparedItems):
         if bias is not None:
             raise ValueError(
                 "bias must be None with PreparedItems (it is baked in)")
         if block_items is not None and block_items != items.block_items:
             raise ValueError("block_items fixed at prepare_items time")
+        if seg_width is not None and seg_width != items.seg_width:
+            raise ValueError("seg_width fixed at prepare_items time")
+        if TU > items.user_tile:
+            raise ValueError(
+                f"user tile {TU} exceeds the prepare_items sizing "
+                f"assumption ({items.user_tile}): the block could "
+                "overflow scoped VMEM — re-prepare with a larger "
+                "user_tile")
         I, D = items.num_items, items.dim
         seg_width = items.seg_width
         block_items = items.block_items
         t = items.table
         dt = t.dtype
     else:
+        if seg_width is None:
+            seg_width = 128
         I, D = items.shape
         dt = items.dtype
         if block_items is None:
             block_items = _auto_block_items(
-                D, jnp.dtype(dt).itemsize,
-                min(user_tile, max(8, -(-B // 8) * 8)), seg_width)
+                D, jnp.dtype(dt).itemsize, TU, seg_width)
         if block_items % seg_width:
             raise ValueError("block_items must be a multiple of seg_width")
         t = _fold_bias_columns(
@@ -513,7 +536,6 @@ def topk_scores_streaming(
     if seg_width & (seg_width - 1):
         raise ValueError("seg_width must be a power of two")
     k = min(k, I)
-    TU = min(user_tile, max(8, -(-B // 8) * 8))
     Bpad = -(-B // TU) * TU
     n_utiles = Bpad // TU
     nblocks = -(-I // block_items)
@@ -527,7 +549,7 @@ def topk_scores_streaming(
     Dk = D + 3
 
     kernel = functools.partial(
-        _streaming_kernel, I, block_items, seg_width, k, seg_top)
+        _streaming_kernel, block_items, seg_width, k, seg_top)
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(n_utiles, nblocks),
@@ -713,12 +735,17 @@ def topk_scores(
     kernel unrolls k extraction rounds, so very large k routes to the
     blocked XLA path instead.
 
-    ``items`` may be a :class:`PreparedItems` (bias baked in) — always
-    routed to the streaming kernel.  ``seg_top`` applies to the
-    streaming kernel only (see its recall ladder)."""
+    ``items`` may be a :class:`PreparedItems` (bias baked in) — routed
+    to the streaming kernel, except very large k (the kernel unrolls k
+    extraction rounds and its recall bound degrades with k), which
+    unfolds the table and takes the exact blocked XLA path.  ``seg_top``
+    applies to the streaming kernel only (see its recall ladder)."""
     if isinstance(items, PreparedItems):
-        return topk_scores_streaming(
-            queries, items, min(k, items.num_items), seg_top=seg_top)
+        k = min(k, items.num_items)
+        if k > 64:
+            raw, b = items.unfold()
+            return topk_scores_xla(queries, raw, k, b)
+        return topk_scores_streaming(queries, items, k, seg_top=seg_top)
     k = min(k, items.shape[0])
     if impl == "auto":
         small = queries.shape[0] * items.shape[0] * 4 <= 64 * 2**20

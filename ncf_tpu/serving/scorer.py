@@ -40,6 +40,10 @@ from ncf_tpu.utils.config import ModelConfig
 # prepare_items is only worth it when retrieval routes to the streaming
 # kernel (large catalogs on TPU): below this, the dense path wins anyway
 _PREPARE_MIN_ITEMS = 1 << 16
+# each prepared table is a full augmented catalog copy (~270 MB at
+# 1M x 64 f32) — cap the cache far below the bias cache's 32 so hourly
+# context churn cannot exhaust HBM (4 entries ~ 1 GB worst case)
+_PREPARED_CACHE_SIZE = 4
 
 
 def _context_key(temporal: Optional[Dict[str, int]]) -> Tuple:
@@ -119,7 +123,7 @@ class AdvancedNCFScorer:
                 or jax.default_backend() != "tpu"):
             return None
         if key not in self._prepared_cache:
-            if len(self._prepared_cache) >= self._bias_cache_size:
+            if len(self._prepared_cache) >= _PREPARED_CACHE_SIZE:
                 self._prepared_cache.pop(next(iter(self._prepared_cache)))
             self._prepared_cache[key] = prepare_items(
                 self.item_vecs, bias, seg_width=self._seg_width)
@@ -242,7 +246,7 @@ class AdvancedNCFScorer:
                                      seg_top=self._seg_top)
         else:
             vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
-                                     impl=self.impl)
+                                     impl=self.impl, seg_top=self._seg_top)
         vals, idxs = np.asarray(vals), np.asarray(idxs)
         if exclude is not None:
             vals, idxs = _filter_excluded(vals, idxs, exclude, k)
@@ -270,7 +274,7 @@ class AdvancedNCFScorer:
                                      seg_top=self._seg_top)
         else:
             vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
-                                     impl=self.impl)
+                                     impl=self.impl, seg_top=self._seg_top)
         vals, idxs = np.asarray(vals), np.asarray(idxs)
         if exclude is not None:
             vals, idxs = _filter_excluded(vals, idxs, exclude, k)
@@ -296,18 +300,21 @@ def _filter_excluded(vals: np.ndarray, idxs: np.ndarray,
     the previous per-row Python loop cost ~B*fetch interpreter
     iterations per serving request."""
     B, fetch = idxs.shape
+    kk = min(k, fetch)          # fetch < k when the catalog is small
     hit = (idxs[:, :, None] == exclude[:, None, :]).any(-1)   # [B, fetch]
     # stable order of survivors: rank candidates by (excluded, column)
-    order = np.argsort(hit, axis=1, kind="stable")[:, :k]     # [B, k]
+    order = np.argsort(hit, axis=1, kind="stable")[:, :kk]    # [B, kk]
     keep_v = np.take_along_axis(vals, order, axis=1)
     keep_i = np.take_along_axis(idxs, order, axis=1)
     # slots that ran out of survivors keep the pad convention
     n_keep = (~hit).sum(axis=1, keepdims=True)                # [B, 1]
-    slot = np.arange(k)[None, :]
-    out_v = np.where(slot < n_keep, keep_v,
-                     np.array(-np.inf, vals.dtype))
-    out_i = np.where(slot < n_keep, keep_i, 0).astype(np.int32)
-    return out_v.astype(vals.dtype), out_i
+    slot = np.arange(kk)[None, :]
+    out_v = np.full((B, k), -np.inf, vals.dtype)
+    out_i = np.zeros((B, k), np.int32)
+    out_v[:, :kk] = np.where(slot < n_keep, keep_v,
+                             np.array(-np.inf, vals.dtype))
+    out_i[:, :kk] = np.where(slot < n_keep, keep_i, 0)
+    return out_v, out_i
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:

@@ -255,6 +255,40 @@ class TestStreamingTopk:
         with pytest.raises(ValueError):
             topk_scores_streaming(q, prep, k=10, bias=b)
 
+    def test_prepared_unfold_and_large_k_fallback(self):
+        # k > 64 must not reach the streaming kernel (k-round unroll +
+        # recall degradation): the dispatcher unfolds the prepared table
+        # and takes the exact XLA path
+        from ncf_tpu.ops.topk import prepare_items, topk_scores
+
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(3000, 16)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(3000,)), jnp.float32)
+        prep = prepare_items(t, b, block_items=512)
+        raw, rb = prep.unfold()
+        np.testing.assert_array_equal(np.asarray(raw), np.asarray(t))
+        np.testing.assert_allclose(np.asarray(rb), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+        v, i = topk_scores(q, prep, k=100)
+        vx, ix = topk_scores_xla(q, t, k=100, bias=b)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ix))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vx),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_prepared_guards(self):
+        from ncf_tpu.ops.topk import prepare_items, topk_scores_streaming
+
+        t = jnp.ones((600, 16), jnp.float32)
+        q = jnp.ones((2048, 16), jnp.float32)
+        prep = prepare_items(t, None, block_items=256, user_tile=256)
+        with pytest.raises(ValueError):    # call tile > prepare-time tile
+            topk_scores_streaming(q, prep, k=5, user_tile=512,
+                                  interpret=True)
+        with pytest.raises(ValueError):    # seg_width fixed at prepare
+            topk_scores_streaming(q[:16], prep, k=5, seg_width=64,
+                                  interpret=True)
+
     def test_prepared_items_is_pytree(self):
         from ncf_tpu.ops.topk import prepare_items
 

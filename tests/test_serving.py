@@ -134,6 +134,18 @@ class TestScorerDecomposition:
         assert i[1][0] == 21 and v[1][0] == 3.
         assert np.isneginf(v[1][1:]).all() and (i[1][1:] == 0).all()
 
+    def test_filter_excluded_fetch_below_k(self):
+        # catalog smaller than requested k: fetch < k must pad, not crash
+        from ncf_tpu.serving.scorer import _filter_excluded
+
+        vals = np.asarray([[5., 4., 3.]], np.float32)
+        idxs = np.asarray([[7, 8, 9]], np.int32)
+        exclude = np.asarray([[8, -1]], np.int32)
+        v, i = _filter_excluded(vals, idxs, exclude, k=6)
+        assert v.shape == (1, 6) and i.shape == (1, 6)
+        np.testing.assert_array_equal(i[0, :2], [7, 9])
+        assert np.isneginf(v[0, 2:]).all()
+
     def test_retrieval_presets(self, setup):
         inter, cfg, params = setup
         fast = AdvancedNCFScorer(params, cfg.model, retrieval="fast")
