@@ -30,6 +30,34 @@ import jax.numpy as jnp
 _IMPL = "xla"
 _SCATTER_IMPL = "auto"
 _SCATTER_MODE = "split"   # pallas matmul precision: split | bf16 | f32
+_EXCHANGE = None          # explicit all-to-all routing, see set_exchange
+
+
+def set_exchange(mesh, rows, capacity_factor: float = 0.0) -> None:
+    """Route lookups of row-sharded tables through the EXPLICIT all-to-all
+    exchange (ncf_tpu.parallel.embedding_sharding.exchange_lookup) instead
+    of letting pjit/XLA pick the collectives — the integrated torchrec-DMP
+    path (reference trainer.py:85-88), selected by
+    ``cfg.mesh.embedding_exchange='explicit'``.
+
+    ``rows``: the row counts of the tables that are sharded P('ici', None)
+    (from parallel.mesh.param_shardings); any 2-D table whose leading dim
+    matches is routed, including vocab-precomputed derived tables, which
+    inherit the raw table's sharding.  ``capacity_factor<=0`` = exact
+    (skew-proof) bucket capacity.
+    """
+    global _EXCHANGE
+    _EXCHANGE = {"mesh": mesh, "rows": frozenset(int(r) for r in rows),
+                 "capacity_factor": capacity_factor}
+
+
+def clear_exchange() -> None:
+    global _EXCHANGE
+    _EXCHANGE = None
+
+
+def get_exchange():
+    return _EXCHANGE
 
 
 def set_impl(impl: str) -> None:
@@ -120,6 +148,12 @@ def _use_pallas_scatter() -> bool:
 
 def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
     """Gather rows: table [N, D], ids int[...]  ->  [..., D]."""
+    if (_EXCHANGE is not None and table.ndim == 2
+            and table.shape[0] in _EXCHANGE["rows"]):
+        from ncf_tpu.parallel.embedding_sharding import exchange_lookup
+
+        return exchange_lookup(_EXCHANGE["mesh"], table, ids,
+                               _EXCHANGE["capacity_factor"])
     if _IMPL == "pallas":
         from ncf_tpu.ops.pallas_embedding import pallas_embedding_lookup
 

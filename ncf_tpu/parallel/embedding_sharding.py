@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ncf_tpu.parallel.mesh import ICI_AXIS
+from ncf_tpu.parallel.mesh import DCN_AXIS, ICI_AXIS
 
 SENTINEL = jnp.int32(2**30)
 
@@ -136,6 +136,89 @@ def _exchange_grad(g: jax.Array, ids: jax.Array, num_shards: int,
     summed = jax.ops.segment_sum(flat_g, rows,
                                  num_segments=rows_per_shard + 1)
     return summed[:rows_per_shard]
+
+
+def exchange_lookup(mesh: Mesh, table: jax.Array, ids: jax.Array,
+                    capacity_factor: float = 0.0) -> jax.Array:
+    """Differentiable explicit all-to-all lookup for the REAL training
+    step: arbitrary ids shapes, a full ('dcn','ici') mesh, and exact
+    gradients (psum over the dcn replicas of the table).
+
+    This is what ``cfg.mesh.embedding_exchange='explicit'`` routes every
+    row-sharded-table gather through (ncf_tpu.ops.embedding registry) —
+    the integrated form of the torchrec-DMP all-to-all dance (reference
+    trainer.py:85-88), vs. the default pjit path where XLA chooses the
+    collectives.
+
+    table [N, D] sharded P('ici', None); ids int[...] sharded over the
+    batch axes P(('dcn','ici')).  Returns [..., D].
+
+    ``capacity_factor <= 0`` (default) selects EXACT capacity — every
+    device's full local id set fits in each owner bucket, so no id can
+    overflow regardless of skew.  The framework's default input pipeline
+    sorts users within each batch (data/pipeline.py sort_by_user) and
+    draws sorted stratified negatives, which makes owner skew maximal
+    (a device's ids land almost entirely on one shard) — a fractional
+    capacity would silently drop lookups there.  Exact capacity costs
+    E-times the ideal all-to-all payload; set a positive factor only for
+    iid id streams.
+    """
+    E = int(mesh.shape[ICI_AXIS])
+    G = int(mesh.shape[DCN_AXIS])
+    if E == 1:
+        return jnp.take(table, ids, axis=0)
+    N, D = table.shape
+    if N % E != 0:
+        raise ValueError(f"table rows {N} must divide ici={E}")
+    R = N // E
+
+    orig_shape = ids.shape
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    total = E * G
+    n_pad = -(-n // total) * total
+    if n_pad != n:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((n_pad - n,), jnp.int32)])
+    local = n_pad // total
+    if capacity_factor and capacity_factor > 0:
+        capacity = min(local, max(8, int(np.ceil(local / E
+                                                 * capacity_factor))))
+    else:
+        capacity = local
+
+    @jax.custom_vjp
+    def _lookup(table, ids):
+        fn = jax.shard_map(
+            functools.partial(_exchange_lookup, num_shards=E,
+                              capacity=capacity, axis=ICI_AXIS),
+            mesh=mesh,
+            in_specs=(P(ICI_AXIS, None), P((DCN_AXIS, ICI_AXIS))),
+            out_specs=P((DCN_AXIS, ICI_AXIS), None))
+        return fn(table, ids)
+
+    def fwd(table, ids):
+        return _lookup(table, ids), ids
+
+    def bwd(ids, g):
+        def body(g, ids):
+            grad = _exchange_grad(g, ids, num_shards=E, rows_per_shard=R,
+                                  capacity=capacity, axis=ICI_AXIS)
+            # each dcn replica saw a disjoint batch slice; the table is
+            # replicated over dcn, so its gradient is the dcn-sum
+            return jax.lax.psum(grad, DCN_AXIS)
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P((DCN_AXIS, ICI_AXIS), None), P((DCN_AXIS, ICI_AXIS))),
+            out_specs=P(ICI_AXIS, None))
+        return fn(g, ids), None
+
+    _lookup.defvjp(fwd, bwd)
+    out = _lookup(table, flat)
+    if n_pad != n:
+        out = out[:n]
+    return out.reshape(*orig_shape, D)
 
 
 class ShardedEmbedding:

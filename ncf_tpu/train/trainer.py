@@ -128,6 +128,11 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.train.seed)
         self.params = self.model.init(key, cfg.model)
         self.batch_shard = None
+        from ncf_tpu.ops import embedding as embedding_ops
+
+        # a prior Trainer in this process may have registered an explicit
+        # exchange; routing is per-Trainer, so reset before (re)registering
+        embedding_ops.clear_exchange()
         if mesh is not None:
             # embedding tables row-sharded over 'ici', dense replicated,
             # batch data-parallel over (dcn, ici) — SURVEY.md §2.8 layout.
@@ -137,6 +142,24 @@ class Trainer:
             p_sh = param_shardings(self.params, mesh,
                                    cfg.mesh.shard_embeddings)
             self.params = shard_pytree(self.params, p_sh)
+            if cfg.mesh.embedding_exchange == "explicit":
+                # rows of every table that actually got P('ici', None):
+                # lookups on those (and their vocab-precomputed derived
+                # tables, same row counts) go through the explicit
+                # all-to-all schedule instead of pjit-auto collectives
+                flat = jax.tree_util.tree_leaves_with_path(
+                    jax.tree_util.tree_map(lambda s: s.spec, p_sh))
+                rows_flat = jax.tree_util.tree_leaves_with_path(self.params)
+                sharded_rows = {
+                    leaf.shape[0]
+                    for (path, spec), (_, leaf) in zip(flat, rows_flat)
+                    if spec and spec[0] is not None}
+                if sharded_rows:
+                    embedding_ops.set_exchange(
+                        mesh, sharded_rows,
+                        cfg.mesh.exchange_capacity_factor)
+                    log.info("explicit all-to-all embedding exchange on "
+                             "for table rows %s", sorted(sharded_rows))
             self.batch_shard = batch_sharding(mesh)
             rep = replicated(mesh)
             self.neg_cdf = jax.device_put(self.neg_cdf, rep)

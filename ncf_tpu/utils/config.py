@@ -133,7 +133,14 @@ class MeshConfig:
     dcn_axis: int = 1                   # hosts (data-parallel over DCN)
     ici_axis: int = -1                  # chips per host; -1 = all local devices
     shard_embeddings: bool = True       # row-shard tables over 'ici'
-    use_shard_map: bool = False         # explicit all-to-all path vs pjit auto
+    # 'pjit': XLA chooses the lookup collectives from the NamedShardings.
+    # 'explicit': route every sharded-table gather through the all-to-all
+    # id/vector exchange (parallel.embedding_sharding.exchange_lookup) —
+    # the integrated torchrec-DMP schedule (reference trainer.py:85-88).
+    embedding_exchange: str = "pjit"
+    # bucket capacity for the explicit exchange; <= 0 = exact (skew-proof,
+    # required with the default sorted-batch pipeline)
+    exchange_capacity_factor: float = 0.0
 
 
 @dataclass
@@ -246,6 +253,10 @@ class Config:
             raise ValueError("batch_size and learning_rate must be positive")
         if m.negative_samples < 1:
             raise ValueError("negative_samples must be >= 1")
+        if self.mesh.embedding_exchange not in ("pjit", "explicit"):
+            raise ValueError(
+                f"mesh.embedding_exchange must be 'pjit' or 'explicit', "
+                f"got {self.mesh.embedding_exchange!r}")
         return self
 
 
