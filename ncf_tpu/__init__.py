@@ -29,4 +29,4 @@ Package layout
 - ``ncf_tpu.utils``     — config, JSONL metrics logging, profiling.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
