@@ -38,7 +38,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ncf_tpu.parallel.mesh import DCN_AXIS, ICI_AXIS
 
-SENTINEL = jnp.int32(2**30)
+# plain int, not jnp.int32(...): a module-level jnp scalar would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-process launches
+SENTINEL = 2**30
 
 
 def _bucket_by_owner(ids: jax.Array, num_shards: int, rows_per_shard: int,
