@@ -86,3 +86,88 @@ class TestLoaders:
         batch = next(iter(it.epoch(0)))
         assert batch["user_ids"].shape == (4,)
         assert set(batch) >= {"user_ids", "item_ids", "hour"}
+
+
+# ---------------------------------------------------------------- fixtures
+# Checked-in ~50-row files in the three REAL dataset layouts (u.data +
+# 24-field u.item, ::-separated ratings.dat/movies.dat in latin-1,
+# headered ratings.csv/movies.csv with quoted titles and half-star
+# ratings) — these pin the format paths against spec drift, unlike the
+# synthesized tmp-dir files above (VERDICT round-1 item 9).
+
+import pathlib
+
+FIXTURES = pathlib.Path(__file__).resolve().parent / "fixtures" / "movielens"
+
+
+class TestCheckedInFixtures:
+    def test_ml100k_fixture_exact(self):
+        d = str(FIXTURES / "ml-100k")
+        assert movielens.available(d)
+        inter = movielens.load(d)
+        assert len(inter) == 65
+        assert inter.num_users == 10 and inter.num_items == 10
+        assert (np.diff(inter.timestamps) >= 0).all()
+        # exact row: user 196 rated item 100 with 4 at ts 876933566
+        u, i = inter.user_map[196], inter.item_map[100]
+        rows = (inter.user_ids == u) & (inter.item_ids == i)
+        assert rows.sum() == 1
+        assert inter.amounts[rows][0] == 4.0
+        assert inter.timestamps[rows][0] == 876933566
+        # u.item genre flags: primary genre of each movie, sorted-unique
+        # over {Action, Animation, Crime, Drama, Unknown}
+        assert inter.num_departments == 5
+        by_name = dict(zip(["Action", "Animation", "Crime", "Drama",
+                            "Unknown"], range(5)))
+        assert inter.item_dept[inter.item_map[1]] == by_name["Animation"]
+        assert inter.item_dept[inter.item_map[127]] == by_name["Action"]
+        assert inter.item_dept[inter.item_map[1358]] == by_name["Unknown"]
+
+    def test_ml1m_fixture_exact(self):
+        d = str(FIXTURES / "ml-1m")
+        assert movielens.available(d)
+        inter = movielens.load(d)
+        assert len(inter) == 75
+        assert inter.num_users == 10 and inter.num_items == 11
+        u, i = inter.user_map[1], inter.item_map[260]
+        rows = (inter.user_ids == u) & (inter.item_ids == i)
+        assert rows.sum() == 1
+        assert inter.amounts[rows][0] == 3.0
+        assert inter.timestamps[rows][0] == 978333411
+        # movies.dat genres (latin-1 title Maléna must parse): primaries
+        # {Action, Animation, Comedy, Crime, Drama}
+        assert inter.num_departments == 5
+        by_name = dict(zip(["Action", "Animation", "Comedy", "Crime",
+                            "Drama"], range(5)))
+        assert inter.item_dept[inter.item_map[1]] == by_name["Animation"]
+        assert inter.item_dept[inter.item_map[990]] == by_name["Drama"]
+        assert inter.item_dept[inter.item_map[2997]] == by_name["Comedy"]
+
+    def test_ml25m_fixture_exact(self):
+        d = str(FIXTURES / "ml-25m")
+        assert movielens.available(d)
+        inter = movielens.load(d)
+        assert len(inter) == 42
+        assert inter.num_users == 8 and inter.num_items == 8
+        # half-star rating preserved exactly
+        u, i = inter.user_map[1], inter.item_map[1]
+        rows = (inter.user_ids == u) & (inter.item_ids == i)
+        assert rows.sum() == 1
+        assert inter.amounts[rows][0] == 3.5
+        assert inter.timestamps[rows][0] == 1147954401
+        # quoted "American President, The (1995)" parses; primaries are
+        # {(no genres listed), Action, Adventure, Comedy, Sci-Fi}
+        assert inter.num_departments == 5
+        by_name = dict(zip(["(no genres listed)", "Action", "Adventure",
+                            "Comedy", "Sci-Fi"], range(5)))
+        assert inter.item_dept[inter.item_map[11]] == by_name["Comedy"]
+        assert inter.item_dept[inter.item_map[122896]] == by_name[
+            "(no genres listed)"]
+        assert inter.item_dept[inter.item_map[176371]] == by_name["Sci-Fi"]
+
+    def test_implicit_threshold_filters(self):
+        inter_all = movielens.load(str(FIXTURES / "ml-25m"))
+        inter_pos = movielens.load(str(FIXTURES / "ml-25m"),
+                                   implicit_threshold=4.0)
+        assert len(inter_pos) == int((inter_all.amounts >= 4.0).sum())
+        assert (inter_pos.amounts >= 4.0).all()
