@@ -181,6 +181,10 @@ class Trainer:
               "exact": ("auto", "split"),
               "xla": ("xla", "split")}[cfg.train.embedding_scatter])
 
+        if cfg.train.steps_per_dispatch == 0:
+            # auto: measure per-dispatch overhead vs step time and pick K
+            # (ROADMAP #5; replaces the hard-coded K=8 in the scale configs)
+            cfg.train.steps_per_dispatch = self._autotune_dispatch()
         if cfg.train.steps_per_dispatch > 1:
             self.train_step = make_multi_train_step(
                 self.model, cfg, self.optimizer, self.neg_cdf,
@@ -198,6 +202,38 @@ class Trainer:
         self.start_epoch = 0
         self.best_val = float("inf")
         self.best_metrics: Dict[str, float] = {}
+
+    def _autotune_dispatch(self) -> int:
+        """Measure dispatch overhead on a real-shaped probe batch and pick
+        steps_per_dispatch (train/autotune.py); training state untouched."""
+        from ncf_tpu.train.autotune import choose_steps_per_dispatch
+
+        cfg = self.cfg
+        probe_np = next(iter(self.train_iter.epoch(0)))
+        if self.batch_shard is not None:
+            probe = {k: jax.device_put(jnp.asarray(v), self.batch_shard)
+                     for k, v in probe_np.items()}
+        else:
+            probe = {k: jnp.asarray(v) for k, v in probe_np.items()}
+
+        def stack_batch(batch, k):
+            stacked = {key: np.stack([np.asarray(probe_np[key])] * k)
+                       for key in batch}
+            if self.batch_shard is not None:
+                from ncf_tpu.parallel import stacked_batch_sharding
+
+                sh = stacked_batch_sharding(self.batch_shard.mesh)
+                return {key: jax.device_put(jnp.asarray(v), sh)
+                        for key, v in stacked.items()}
+            return {key: jnp.asarray(v) for key, v in stacked.items()}
+
+        make_args = (self.model, cfg, self.optimizer, self.neg_cdf,
+                     self.item_dept, self.item_cat, self.user_history)
+        return choose_steps_per_dispatch(
+            make_single=lambda: make_train_step(*make_args),
+            make_multi=lambda: make_multi_train_step(*make_args),
+            params=self.params, opt_state=self.opt_state, rng=self.rng,
+            probe_batch=probe, stack_batch=stack_batch)
 
     # ------------------------------------------------------------ training
 

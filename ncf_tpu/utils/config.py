@@ -85,7 +85,9 @@ class TrainConfig:
 
     batch_size: int = 256
     steps_per_dispatch: int = 1         # >1: lax.scan K optimizer steps per
-    #                                     device call (amortizes dispatch)
+    #                                     device call (amortizes dispatch);
+    #                                     0 = measure overhead and autotune
+    #                                     (train/autotune.py)
     loss: str = "bce"                   # bce | bpr (north-star training losses)
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
