@@ -2,12 +2,16 @@ from ncf_tpu.ops.embedding import embedding_lookup, get_impl, set_impl
 from ncf_tpu.ops.pallas_attention import fused_single_query_attention
 from ncf_tpu.ops.topk import (
     PreparedItems,
+    PreparedItemsInt8,
     prepare_items,
+    prepare_items_int8,
+    rescore_exact,
     topk_scores,
     topk_scores_dense,
     topk_scores_pallas,
     topk_scores_segmented,
     topk_scores_streaming,
+    topk_scores_streaming_int8,
     topk_scores_xla,
 )
 
@@ -17,7 +21,11 @@ __all__ = [
     "set_impl",
     "fused_single_query_attention",
     "PreparedItems",
+    "PreparedItemsInt8",
     "prepare_items",
+    "prepare_items_int8",
+    "rescore_exact",
+    "topk_scores_streaming_int8",
     "topk_scores",
     "topk_scores_dense",
     "topk_scores_pallas",

@@ -583,6 +583,317 @@ def topk_scores_streaming(
     return vals.T[:B], jnp.minimum(idxs.T[:B], I - 1)
 
 
+# ------------------------------------------------- int8 streaming tier
+
+# int32 "minus infinity" for masked scores inside the int8 kernel: far
+# below any reachable accumulator value (|acc| <= D*127^2 + 32385 < 2^21)
+# yet safe against wrap-around in max/where ops
+_INT_NEG = -(2 ** 30)
+# bias digit range with query-side weights (127, 127, 1): see
+# _bias_digits — |B_int| <= 127*254 + 64
+_BIAS_INT_LIM = 32322.0
+
+
+class PreparedItemsInt8:
+    """An int8-quantized augmented item table for
+    :func:`topk_scores_streaming_int8` — the approximate retrieval tier.
+
+    The TPU v5e MXU retires int8 matmul outputs ~1.38x faster than bf16
+    (measured 770 vs 559 G outputs/s on a dot+max kernel — BENCH_NOTES),
+    and the streaming top-k kernel is matmul-bound at seg_top=1, so an
+    int8 item operand moves the whole retrieval floor.  Fair parity: the
+    reference's own retrieval is approximate ANN (Tree-AH,
+    src/inference/setup_tree_ah_endpoint.py:25-33).
+
+    Quantization scheme (all scales fixed at prepare time):
+      - items:  per-DIMENSION symmetric scales ``col_scale[d] =
+        max_i |v[i,d]| / 127``; the int8 table stores exact integers
+        ``round(v[:,d] / col_scale[d])``.
+      - queries: the column scales fold into the query side
+        (q . v == (q o col_scale) . (v / col_scale)), then one global
+        scale ``q_scale = max |q o col_scale| / 127`` quantizes the
+        folded query.  ``q_scale`` is computed from the query sample
+        given to :func:`prepare_items_int8` (serving: the full static
+        user-query table), so later calls quantize against a FIXED
+        scale and the bias fold below stays valid; out-of-range query
+        entries clip.
+      - bias:  folded into the matmul as THREE int8 digit columns with
+        query-side weights (127, 127, 1), encoding
+        ``B_int = round(bias / q_scale)`` clipped to +-32322 — i.e. the
+        bias lands in the int32 accumulator with the same LSB as the
+        dot product itself.
+
+    Dequantized score = ``acc * q_scale``; error is dominated by the
+    query rounding (+-0.5 LSB per dimension).  Construct via
+    :func:`prepare_items_int8`; registered as a pytree.
+    """
+
+    def __init__(self, table: jax.Array, col_scale: jax.Array,
+                 q_scale: jax.Array, num_items: int, dim: int,
+                 block_items: int, seg_width: int, user_tile: int = 256):
+        self.table = table            # [Ipad, dim + 3] int8
+        self.col_scale = col_scale    # [dim] f32
+        self.q_scale = q_scale        # [] f32
+        self.num_items = num_items
+        self.dim = dim
+        self.block_items = block_items
+        self.seg_width = seg_width
+        self.user_tile = user_tile
+
+    def tree_flatten(self):
+        return ((self.table, self.col_scale, self.q_scale),
+                (self.num_items, self.dim, self.block_items,
+                 self.seg_width, self.user_tile))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def unfold(self) -> Tuple[jax.Array, jax.Array]:
+        """Dequantized ``(items [I, D] f32, bias [I] f32)`` — approximate
+        (item rounding error <= col_scale/2 per entry).  Used when a call
+        must route to a non-streaming implementation (very large k)."""
+        t = self.table[:self.num_items].astype(jnp.float32)
+        items = t[:, :self.dim] * self.col_scale[None, :]
+        d = self.dim
+        bias = (127.0 * t[:, d] + 127.0 * t[:, d + 1] + t[:, d + 2]
+                ) * self.q_scale
+        return items, bias
+
+
+jax.tree_util.register_pytree_node(
+    PreparedItemsInt8,
+    lambda p: p.tree_flatten(),
+    PreparedItemsInt8.tree_unflatten)
+
+
+def _bias_digits(b_int: jax.Array) -> jax.Array:
+    """Decompose integer bias values (f32-held, clipped to +-32322) into
+    three int8 digits (d1, d2, d3) such that 127*d1 + 127*d2 + d3 ==
+    b_int exactly: hi = round(b/127) split across two +-127 digits, the
+    residual (|.| <= 64) rides the weight-1 column.  Returns [I, 3]."""
+    hi = jnp.clip(jnp.round(b_int / 127.0), -254.0, 254.0)
+    d3 = b_int - 127.0 * hi
+    d1 = jnp.ceil(hi / 2.0)
+    d2 = hi - d1
+    return jnp.stack([d1, d2, d3], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block_items", "seg_width", "user_tile"))
+def prepare_items_int8(
+    items: jax.Array,              # [I, D] float
+    bias: Optional[jax.Array],     # [I] or None
+    queries: jax.Array,            # [N, D] query sample fixing q_scale
+    block_items: Optional[int] = None,
+    seg_width: int = 64,
+    user_tile: int = 256,
+) -> PreparedItemsInt8:
+    """Quantize the catalog for the int8 streaming tier (see
+    :class:`PreparedItemsInt8`).  ``queries`` fixes the query/bias scale:
+    pass the full static user-query table (or a [1, D] per-dimension
+    max-abs row for a cheap exact bound)."""
+    I, D = items.shape
+    if block_items is None:
+        block_items = _auto_block_items(D, 1, user_tile, seg_width)
+    if block_items % seg_width:
+        raise ValueError("block_items must be a multiple of seg_width")
+    nblocks = -(-I // block_items)
+    ipad = nblocks * block_items
+
+    v32 = items.astype(jnp.float32)
+    col_scale = jnp.maximum(jnp.max(jnp.abs(v32), axis=0) / 127.0, 1e-30)
+    v8 = jnp.round(v32 / col_scale[None, :])                 # exact ints
+
+    q_folded_max = jnp.max(
+        jnp.abs(queries.astype(jnp.float32)) * col_scale[None, :])
+    q_scale = jnp.maximum(q_folded_max / 127.0, 1e-30)
+
+    b32 = (bias.astype(jnp.float32) if bias is not None
+           else jnp.zeros((I,), jnp.float32))
+    b_int = jnp.clip(jnp.round(b32 / q_scale),
+                     -_BIAS_INT_LIM, _BIAS_INT_LIM)
+    digits = _bias_digits(b_int)                              # [I, 3]
+
+    table = jnp.concatenate([v8, digits], axis=1)
+    # padded rows: zero vector + most-negative bias digits (the kernel
+    # also masks them by global row id — belt and braces)
+    table = jnp.pad(table, ((0, ipad - I), (0, 0)))
+    if ipad > I:
+        table = table.at[I:, D:].set(-127.0)
+    table = jnp.clip(table, -127.0, 127.0).astype(jnp.int8)
+    return PreparedItemsInt8(table, col_scale, q_scale, I, D,
+                             block_items, seg_width, user_tile)
+
+
+def _streaming_kernel_int8(block_items, seg_width, k, seg_top, num_items,
+                           t_ref, q_ref, vout, iout, vals_c, idx_c):
+    """Int8 variant of ``_streaming_kernel``: int8 x int8 -> int32 MXU
+    matmul (bias pre-folded as weighted digit columns), per-segment
+    top-``seg_top`` in the integer domain, then the same f32 running
+    merge (int32 accumulators are < 2^22, exact in f32).
+
+    Integer accumulators buy a trick f32 scores cannot have: the
+    (score, within-segment offset) pair packs LOSSLESSLY into one int32
+    key ``acc * seg_width + (seg_width-1 - offset)`` (|acc| < 2^22,
+    offset < 2^7), so the per-segment max and its argmax are ONE
+    reduction pass instead of max + equality + min (measured ~0.2 ms of
+    the 1.8 ms call).  Ties resolve to the lowest offset via the
+    complemented offset bits, matching the bf16 kernel.
+
+    Padded rows are never masked here: prepare_items_int8 gives them a
+    bias at the digit floor (-32385), ~255x below the representable
+    score range, so they surface only if fewer than k real catalog
+    scores beat that floor — see the guarantee note on
+    ``topk_scores_streaming_int8``."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    TU = q_ref.shape[0]
+    nseg = block_items // seg_width
+
+    @pl.when(i == 0)
+    def _():
+        vals_c[:] = jnp.full((k, TU), NEG_INF, jnp.float32)
+        idx_c[:] = jnp.zeros((k, TU), jnp.int32)
+
+    acc = jax.lax.dot_general(
+        t_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [TI, TU]
+
+    s3 = acc.reshape(nseg, seg_width, TU)
+    seg_base = (jax.lax.broadcasted_iota(jnp.int32, (nseg, TU), 0) * seg_width
+                + i * block_items)
+    off_iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    k3 = s3 * seg_width + (seg_width - 1 - off_iota)          # packed keys
+    key1 = jnp.max(k3, axis=1)                                # [nseg, TU]
+    m1 = jnp.right_shift(key1, seg_width.bit_length() - 1)              # arith shift
+    off1 = (seg_width - 1) - (key1 & (seg_width - 1))
+    g1 = seg_base + off1
+    if seg_top == 2:
+        k3b = jnp.where(k3 == key1[:, None, :], _INT_NEG, k3)
+        key2 = jnp.max(k3b, axis=1)
+        m2 = jnp.right_shift(key2, seg_width.bit_length() - 1)
+        off2 = (seg_width - 1) - (key2 & (seg_width - 1))
+        g2 = seg_base + off2
+        segvals = jnp.concatenate(
+            [m1.astype(jnp.float32), m2.astype(jnp.float32)], axis=0)
+        segids = jnp.concatenate([g1, g2], axis=0)
+    else:
+        segvals, segids = m1.astype(jnp.float32), g1
+
+    cat_v = jnp.concatenate([vals_c[:], segvals], axis=0)
+    cat_i = jnp.concatenate([idx_c[:], segids], axis=0)
+    mv, mi = _extract_topk_rows(cat_v, cat_i, k)
+    vals_c[:] = mv
+    idx_c[:] = mi
+
+    @pl.when(i == ni - 1)
+    def _():
+        vout[:] = mv
+        iout[:] = mi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "user_tile", "seg_top", "interpret"))
+def topk_scores_streaming_int8(
+    queries: jax.Array,            # [B, D] float
+    items: PreparedItemsInt8,
+    k: int = 10,
+    user_tile: int = 256,
+    seg_top: int = 1,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate streaming top-k over an int8-quantized catalog
+    (:func:`prepare_items_int8`) — the speed tier above 'fast'.
+
+    Returned scores are the dequantized int8 scores (LSB = q_scale);
+    pass the winners through :func:`rescore_exact` for exact f32 scores
+    (the serving 'int8' preset does).  Recall loss has two sources: the
+    per-segment surfacing bound shared with the bf16 kernel (see
+    ``topk_scores_streaming``) and score quantization flipping
+    near-ties at the top-k boundary — both measured on the recall
+    ladder in BENCH_NOTES.
+    """
+    if seg_top not in (1, 2):
+        raise ValueError("seg_top must be 1 or 2")
+    B = queries.shape[0]
+    D, I = items.dim, items.num_items
+    TU = min(user_tile, max(8, -(-B // 8) * 8))
+    if TU > items.user_tile:
+        raise ValueError(
+            f"user tile {TU} exceeds the prepare_items_int8 sizing "
+            f"assumption ({items.user_tile})")
+    k = min(k, I)
+    block_items = items.block_items
+    seg_width = items.seg_width
+    Bpad = -(-B // TU) * TU
+    nblocks = items.table.shape[0] // block_items
+    Ipad = nblocks * block_items
+
+    q32 = queries.astype(jnp.float32) * items.col_scale[None, :]
+    q8 = jnp.clip(jnp.round(q32 / items.q_scale), -127.0, 127.0)
+    q8 = jnp.pad(q8, ((0, Bpad - B), (0, 0)))
+    w = jnp.broadcast_to(jnp.asarray([[127.0, 127.0, 1.0]]), (Bpad, 3))
+    q8 = jnp.concatenate([q8, w], axis=1).astype(jnp.int8)
+    Dk = D + 3
+
+    kernel = functools.partial(
+        _streaming_kernel_int8, block_items, seg_width, k, seg_top, I)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(Bpad // TU, nblocks),
+        in_specs=[
+            pl.BlockSpec((block_items, Dk), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TU, Dk), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, TU), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, TU), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((k, Bpad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, TU), jnp.float32),
+            pltpu.VMEM((k, TU), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bpad * Ipad * Dk,
+            bytes_accessed=(Bpad * Dk + Ipad * Dk * (Bpad // TU))
+            + Bpad * k * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(items.table, q8)
+    vals = vals.T[:B] * items.q_scale
+    return vals, jnp.minimum(idxs.T[:B], I - 1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def rescore_exact(
+    queries: jax.Array,            # [B, D] float
+    items: jax.Array,              # [I, D] float
+    bias: Optional[jax.Array],     # [I] or None
+    idxs: jax.Array,               # [B, k] candidate ids
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact f32 re-score + re-sort of retrieved candidates: returns
+    (values [B, k], ids [B, k]) sorted by exact score.  The int8 tier's
+    second phase — a [B*k]-row gather + per-pair dot, cheap at serving
+    k (measured in BENCH_NOTES)."""
+    win = jnp.take(items, idxs, axis=0)                       # [B, k, D]
+    vals = jnp.einsum("bd,bkd->bk", queries.astype(jnp.float32),
+                      win.astype(jnp.float32))
+    if bias is not None:
+        vals = vals + jnp.take(bias.astype(jnp.float32), idxs)
+    order = jnp.argsort(-vals, axis=1)
+    return (jnp.take_along_axis(vals, order, axis=1),
+            jnp.take_along_axis(idxs, order, axis=1))
+
+
 # --------------------------------------------- segmented-max (superseded)
 
 def _monotone_i32(x: jax.Array) -> jax.Array:
@@ -724,7 +1035,7 @@ def topk_scores(
     k: int = 10,
     bias: Optional[jax.Array] = None,
     impl: str = "auto",
-    seg_top: int = 2,
+    seg_top: Optional[int] = None,   # None: 2 for bf16/f32, 1 for int8
 ) -> Tuple[jax.Array, jax.Array]:
     """Dispatch.  'auto' (measured on TPU v5e, B=1024, I=1M, chained
     timing): the streaming segmax kernel (3.2 ms prepared, exact scores,
@@ -738,8 +1049,23 @@ def topk_scores(
     ``items`` may be a :class:`PreparedItems` (bias baked in) — routed
     to the streaming kernel, except very large k (the kernel unrolls k
     extraction rounds and its recall bound degrades with k), which
-    unfolds the table and takes the exact blocked XLA path.  ``seg_top``
-    applies to the streaming kernel only (see its recall ladder)."""
+    unfolds the table and takes the exact blocked XLA path.  A
+    :class:`PreparedItemsInt8` routes to the int8 tier the same way
+    (large k unfolds to the DEQUANTIZED table — approximate).
+    ``seg_top`` applies to the streaming kernels only (see the recall
+    ladders)."""
+    if isinstance(items, PreparedItemsInt8):
+        k = min(k, items.num_items)
+        if bias is not None:
+            raise ValueError(
+                "bias must be None with PreparedItemsInt8 (it is baked in)")
+        if k > 64:
+            raw, b = items.unfold()
+            return topk_scores_xla(queries, raw, k, b)
+        return topk_scores_streaming_int8(queries, items, k,
+                                          seg_top=seg_top or 1)
+    if seg_top is None:
+        seg_top = 2
     if isinstance(items, PreparedItems):
         k = min(k, items.num_items)
         if k > 64:

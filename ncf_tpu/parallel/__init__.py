@@ -1,5 +1,7 @@
 from ncf_tpu.parallel.embedding_sharding import ShardedEmbedding
-from ncf_tpu.parallel.sharded_topk import shard_items, sharded_topk_scores
+from ncf_tpu.parallel.sharded_topk import (
+    ShardedPreparedItems, shard_items, shard_prepare_items,
+    sharded_topk_scores, sharded_topk_scores_prepared)
 from ncf_tpu.parallel.multihost import (
     initialize_distributed,
     is_primary,
@@ -37,6 +39,9 @@ __all__ = [
     "replicated",
     "shard_pytree",
     "pad_rows",
+    "ShardedPreparedItems",
     "shard_items",
+    "shard_prepare_items",
     "sharded_topk_scores",
+    "sharded_topk_scores_prepared",
 ]

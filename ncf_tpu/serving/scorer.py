@@ -34,7 +34,9 @@ import numpy as np
 
 from ncf_tpu.models import advanced_ncf, temporal as temporal_mod
 from ncf_tpu.models.layers import dense, layer_norm, mlp_tower
-from ncf_tpu.ops.topk import PreparedItems, prepare_items, topk_scores
+from ncf_tpu.ops.topk import (PreparedItems, PreparedItemsInt8,
+                              prepare_items, prepare_items_int8,
+                              rescore_exact, topk_scores)
 from ncf_tpu.utils.config import ModelConfig
 
 # prepare_items is only worth it when retrieval routes to the streaming
@@ -44,6 +46,10 @@ _PREPARE_MIN_ITEMS = 1 << 16
 # 1M x 64 f32) — cap the cache far below the bias cache's 32 so hourly
 # context churn cannot exhaust HBM (4 entries ~ 1 GB worst case)
 _PREPARED_CACHE_SIZE = 4
+# 'int8' preset: extra candidates fetched before the exact rescore —
+# recall@10 saturates at +6 on the 1M-item benchmark (0.99336 at +6
+# and +10 alike; 0.96572 at +0)
+_INT8_OVERFETCH = 6
 
 
 def _context_key(temporal: Optional[Dict[str, int]]) -> Tuple:
@@ -67,16 +73,30 @@ class AdvancedNCFScorer:
         retrieval: str = "exact",
     ):
         """``retrieval`` picks the streaming kernel's recall/speed point
-        (measured at B=1024 x I=1M on v5e — see ops.topk recall ladder):
-        'exact' = seg_width 128 / seg_top 2, recall 1.0, 319k users/s;
-        'fast'  = seg_width 64 / seg_top 1, recall ~0.9998, 542k users/s
-        (0.02% of users get the k+1-th item instead of the k-th; scores
-        stay exact).  Small catalogs use the exact dense path either
-        way."""
-        if retrieval not in ("exact", "fast"):
+        (measured at B=1024 x I=1M on v5e — see ops.topk recall ladders):
+
+        'exact'     bf16, seg 128/2   recall 1.0      ~319k users/s
+        'fast'      bf16, seg 64/1    recall ~0.9998  ~542k users/s
+        'int8'      int8, seg 128/1, over-fetch k+6 + exact f32 rescore
+                    of the winners: recall ~0.993, EXACT scores,
+                    ~461k users/s (1.45x 'exact')
+        'int8-fast' int8, seg 128/1, no rescore: recall ~0.966,
+                    dequantized scores (~2% rel err), ~856k users/s
+                    (2.7x 'exact')
+
+        The int8 tiers quantize against the user-query table at refresh
+        time (ops.topk.prepare_items_int8); fair parity — the
+        reference's own retrieval is approximate ANN (Tree-AH,
+        setup_tree_ah_endpoint.py:25-33).  Small catalogs use the exact
+        dense path under every preset."""
+        if retrieval not in ("exact", "fast", "int8", "int8-fast"):
             raise ValueError(f"unknown retrieval preset: {retrieval!r}")
-        self._seg_width, self._seg_top = (
-            (128, 2) if retrieval == "exact" else (64, 1))
+        self._retrieval = retrieval
+        self._int8 = retrieval.startswith("int8")
+        self._rescore = retrieval == "int8"
+        self._seg_width, self._seg_top = {
+            "exact": (128, 2), "fast": (64, 1),
+            "int8": (128, 1), "int8-fast": (128, 1)}[retrieval]
         self.cfg = cfg
         self.impl = impl
         self.item_dept = item_dept
@@ -109,15 +129,21 @@ class AdvancedNCFScorer:
         self.user_queries = (
             layer_norm(params["mf_norm"], params["user_emb"][:, :dmf])
             * w_mf[None, :] * self._wf1)
+        # per-dimension |q| bound over the static user-query table —
+        # fixes the int8 tiers' query/bias quantization scale
+        self._q_maxabs = jnp.max(jnp.abs(self.user_queries), axis=0)
         self._bias_cache.clear()
         self._prepared_cache.clear()
 
-    def _prepared(self, key: Tuple, bias: jax.Array) -> Optional[PreparedItems]:
+    def _prepared(self, key: Tuple, bias: jax.Array,
+                  q_maxabs: Optional[jax.Array] = None):
         """Cached pre-augmented item table for the streaming kernel (one
         per bias/temporal context).  Building the kernel operand inline
         costs a full table copy per CALL (~3 ms of a 6.4 ms retrieval at
         1M items — see ops.topk.PreparedItems); the table is static per
-        (params, bias context), so serving amortizes it here."""
+        (params, bias context), so serving amortizes it here.  For the
+        int8 tiers, ``q_maxabs`` [D] bounds the (possibly modulated)
+        query magnitudes for that context."""
         if (self.cfg.num_items < _PREPARE_MIN_ITEMS
                 or self.impl not in ("auto", "streaming")
                 or jax.default_backend() != "tpu"):
@@ -125,8 +151,14 @@ class AdvancedNCFScorer:
         if key not in self._prepared_cache:
             if len(self._prepared_cache) >= _PREPARED_CACHE_SIZE:
                 self._prepared_cache.pop(next(iter(self._prepared_cache)))
-            self._prepared_cache[key] = prepare_items(
-                self.item_vecs, bias, seg_width=self._seg_width)
+            if self._int8:
+                qrow = (q_maxabs if q_maxabs is not None
+                        else self._q_maxabs)[None, :]
+                self._prepared_cache[key] = prepare_items_int8(
+                    self.item_vecs, bias, qrow, seg_width=self._seg_width)
+            else:
+                self._prepared_cache[key] = prepare_items(
+                    self.item_vecs, bias, seg_width=self._seg_width)
         return self._prepared_cache[key]
 
     def _mlp_pred_all_items(self, temporal: Optional[Dict[str, int]]) -> jax.Array:
@@ -236,21 +268,11 @@ class AdvancedNCFScorer:
         demo/app.py:43-77) as a retrieval-class query: hour folds into
         the query vector + a cached per-hour item bias."""
         user_ids = jnp.asarray(user_ids, jnp.int32)
-        q = self.user_query(user_ids) * self._hour_mod(hour)[None, :]
+        mod = self._hour_mod(hour)
+        q = self.user_query(user_ids) * mod[None, :]
         bias = self._hourly_item_bias(hour)
-        fetch = k if exclude is None else min(
-            self.cfg.num_items, k + exclude.shape[1])
-        prep = self._prepared(("hour_bias", hour), bias)
-        if prep is not None:
-            vals, idxs = topk_scores(q, prep, fetch,
-                                     seg_top=self._seg_top)
-        else:
-            vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
-                                     impl=self.impl, seg_top=self._seg_top)
-        vals, idxs = np.asarray(vals), np.asarray(idxs)
-        if exclude is not None:
-            vals, idxs = _filter_excluded(vals, idxs, exclude, k)
-        return _sigmoid(vals), idxs
+        return self._retrieve(q, ("hour_bias", hour), bias, k, exclude,
+                              q_maxabs=self._q_maxabs * jnp.abs(mod))
 
     def topk_for_users(
         self,
@@ -266,12 +288,28 @@ class AdvancedNCFScorer:
         user_ids = jnp.asarray(user_ids, jnp.int32)
         q = self.user_query(user_ids)
         bias = self.item_bias(temporal)
+        return self._retrieve(q, _context_key(temporal), bias, k, exclude)
+
+    def _retrieve(self, q, key, bias, k, exclude, q_maxabs=None):
+        """Shared retrieval tail: prepared-table streaming top-k (with
+        the int8 tiers' over-fetch + exact rescore), exclusion
+        filtering, sigmoid."""
         fetch = k if exclude is None else min(
             self.cfg.num_items, k + exclude.shape[1])
-        prep = self._prepared(_context_key(temporal), bias)
+        prep = self._prepared(key, bias, q_maxabs)
         if prep is not None:
-            vals, idxs = topk_scores(q, prep, fetch,
+            kern_fetch = fetch
+            if self._rescore:
+                # int8 ordering misplaces near-ties: fetch extra
+                # candidates, exact-rescore, keep the true best
+                # (recall 0.966 -> 0.993 measured at +6, BENCH_NOTES)
+                kern_fetch = min(fetch + _INT8_OVERFETCH,
+                                 self.cfg.num_items)
+            vals, idxs = topk_scores(q, prep, kern_fetch,
                                      seg_top=self._seg_top)
+            if self._rescore and isinstance(prep, PreparedItemsInt8):
+                vals, idxs = rescore_exact(q, self.item_vecs, bias, idxs)
+                vals, idxs = vals[:, :fetch], idxs[:, :fetch]
         else:
             vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
                                      impl=self.impl, seg_top=self._seg_top)

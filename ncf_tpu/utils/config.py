@@ -157,8 +157,10 @@ class ServingConfig:
     host: str = "127.0.0.1"
     port: int = 8080
     model_version: str = "0.1.0"
-    # streaming-kernel recall/speed preset: 'exact' (recall 1.0) or
-    # 'fast' (recall ~0.9998, ~1.7x retrieval QPS) — see
+    # streaming-kernel recall/speed preset: 'exact' (recall 1.0),
+    # 'fast' (recall ~0.9998, ~1.7x retrieval QPS), 'int8' (recall
+    # ~0.993, exact rescored scores, ~1.45x), or 'int8-fast' (recall
+    # ~0.966, dequantized scores, ~2.7x) — see
     # serving.scorer.AdvancedNCFScorer
     retrieval: str = "exact"
 

@@ -309,3 +309,131 @@ class TestStreamingTopk:
         v_ref, i_ref = topk_scores_xla(q, t, k=5)
         np.testing.assert_allclose(np.asarray(v_auto), np.asarray(v_ref),
                                    rtol=1e-5)
+
+
+class TestInt8StreamingTopk:
+    """The int8 approximate tier: the kernel must match a NumPy
+    simulation of the SAME integer computation bit-for-bit (isolating
+    kernel bugs from quantization effects), and the rescore phase must
+    return exact f32 scores."""
+
+    def _quantized_reference(self, prep, q, st, k):
+        """NumPy re-implementation of the quantized scoring + per-segment
+        top-seg_top surfacing + global top-k."""
+        import numpy as np
+        tab = np.asarray(prep.table, np.int32)
+        cs = np.asarray(prep.col_scale)
+        qs = float(prep.q_scale)
+        B = q.shape[0]
+        I = prep.num_items
+        w = prep.seg_width
+        q8 = np.clip(np.round(np.asarray(q) * cs[None, :] / qs), -127, 127)
+        q8 = np.concatenate(
+            [q8, np.tile([[127.0, 127.0, 1.0]], (B, 1))], 1).astype(np.int32)
+        acc = q8 @ tab.T
+        nseg = tab.shape[0] // w
+        segacc = acc.reshape(B, nseg, w)
+        out_v = np.zeros((B, k)); out_i = np.zeros((B, k), np.int64)
+        for b in range(B):
+            cands = []
+            for s in range(nseg):
+                seg = segacc[b, s]
+                o1 = int(np.argmax(seg))
+                cands.append((seg[o1], s * w + o1))
+                if st == 2:
+                    seg2 = seg.copy(); seg2[o1] = -(2 ** 30)
+                    o2 = int(np.argmax(seg2))
+                    cands.append((seg2[o2], s * w + o2))
+            cands.sort(key=lambda x: (-x[0], x[1]))
+            for j in range(k):
+                out_v[b, j] = cands[j][0] * qs
+                out_i[b, j] = min(cands[j][1], I - 1)
+        return out_v, out_i
+
+    def _data(self, B=24, I=1000, D=16, seed=1):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(I,)), jnp.float32)
+        return q, t, bias
+
+    @pytest.mark.parametrize("w,st,k", [(64, 1, 5), (64, 2, 7),
+                                        (128, 1, 4), (128, 2, 10)])
+    def test_matches_integer_simulation(self, w, st, k):
+        from ncf_tpu.ops.topk import (prepare_items_int8,
+                                      topk_scores_streaming_int8)
+        q, t, bias = self._data()
+        prep = prepare_items_int8(t, bias, q, block_items=256, seg_width=w)
+        vals, idxs = topk_scores_streaming_int8(
+            q, prep, k, seg_top=st, interpret=True)
+        rv, ri = self._quantized_reference(prep, q, st, k)
+        np.testing.assert_allclose(np.asarray(vals), rv, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idxs), ri)
+
+    def test_bias_digits_exact(self):
+        """127*d1 + 127*d2 + d3 reconstructs round(bias/q_scale) exactly
+        within the clip range."""
+        from ncf_tpu.ops.topk import prepare_items_int8
+        q, t, _ = self._data()
+        bias = jnp.asarray(
+            np.linspace(-5.0, 5.0, t.shape[0]), jnp.float32)
+        prep = prepare_items_int8(t, bias, q, block_items=256)
+        _, b2 = prep.unfold()
+        qs = float(prep.q_scale)
+        np.testing.assert_allclose(
+            np.asarray(b2), np.round(np.asarray(bias) / qs) * qs,
+            rtol=0, atol=qs * 1e-3)
+
+    def test_unfold_roundtrip_tolerance(self):
+        """Dequantized items are within half a column LSB of the input."""
+        from ncf_tpu.ops.topk import prepare_items_int8
+        q, t, bias = self._data()
+        prep = prepare_items_int8(t, bias, q, block_items=256)
+        items2, _ = prep.unfold()
+        lsb = np.asarray(prep.col_scale)[None, :]
+        assert (np.abs(np.asarray(items2) - np.asarray(t)) <= lsb * 0.5 + 1e-7).all()
+
+    def test_rescore_exact_scores_and_order(self):
+        from ncf_tpu.ops.topk import (prepare_items_int8, rescore_exact,
+                                      topk_scores_streaming_int8)
+        q, t, bias = self._data(I=2000)
+        prep = prepare_items_int8(t, bias, q, block_items=256, seg_width=64)
+        _, idxs = topk_scores_streaming_int8(
+            q, prep, 20, seg_top=2, interpret=True)
+        vals, ids = rescore_exact(q, t, bias, idxs)
+        scores = np.asarray(q) @ np.asarray(t).T + np.asarray(bias)[None, :]
+        for r in range(q.shape[0]):
+            np.testing.assert_allclose(
+                np.asarray(vals)[r],
+                scores[r, np.asarray(ids)[r]], rtol=1e-5, atol=1e-5)
+        assert (np.diff(np.asarray(vals), axis=1) <= 1e-6).all()
+
+    def test_overfetch_rescore_recall(self):
+        """fetch 2k + exact rescore -> top-10: recall well above the
+        no-rescore tier at the same size (quantization flips recover)."""
+        from ncf_tpu.ops.topk import (prepare_items_int8, rescore_exact,
+                                      topk_scores_streaming_int8)
+        q, t, bias = self._data(B=32, I=4000, D=32, seed=3)
+        prep = prepare_items_int8(t, bias, q, block_items=512, seg_width=64)
+        _, ix = topk_scores_xla(q, t, 10, bias)
+        ix = np.asarray(ix)
+        _, i8 = topk_scores_streaming_int8(q, prep, 20, seg_top=2,
+                                           interpret=True)
+        _, ids = rescore_exact(q, t, bias, i8)
+        ids = np.asarray(ids)[:, :10]
+        recall = np.mean([np.isin(ix[r], ids[r]).mean()
+                          for r in range(len(ix))])
+        assert recall > 0.9
+
+    def test_dispatch_routes_prepared_int8(self):
+        from ncf_tpu.ops import topk as topk_mod
+        from ncf_tpu.ops.topk import prepare_items_int8, topk_scores
+        q, t, bias = self._data()
+        prep = prepare_items_int8(t, bias, q, block_items=256)
+        with pytest.raises(ValueError):
+            topk_scores(q, prep, 5, bias=bias)
+        # large k unfolds to the exact-XLA path over dequantized operands
+        vals, idxs = topk_scores(q, prep, 100)
+        items2, b2 = prep.unfold()
+        vx, ix = topk_scores_xla(q, items2, 100, b2)
+        np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ix))

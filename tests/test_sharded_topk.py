@@ -56,3 +56,84 @@ class TestShardedTopk:
         vs, ids = sharded_topk_scores(q, items_s, bias_s, n, mesh, k=5)
         assert int(np.asarray(ids).max()) < I
         assert np.all(np.asarray(vs) < 0)
+
+
+class TestShardedPreparedTopk:
+    """The once-prepared sharded path (no per-call re-fold) must match
+    the exact single-device reference on the CPU mesh (interpret-mode
+    streaming kernel)."""
+
+    def _run(self, mesh, I=1000, B=24, D=16, k=10, bias=True, seg_top=2,
+             block_items=128, seg_width=64):
+        from ncf_tpu.parallel.sharded_topk import (
+            shard_prepare_items, sharded_topk_scores_prepared)
+
+        rng = np.random.default_rng(4)
+        q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
+        b = (jnp.asarray(rng.normal(size=(I,)), jnp.float32)
+             if bias else None)
+        prep = shard_prepare_items(t, b, mesh, block_items=block_items,
+                                   seg_width=seg_width)
+        # every shard holds a block-multiple slice
+        assert prep.table.shape[0] % (8 * block_items) == 0
+        vs, ids = sharded_topk_scores_prepared(
+            q, prep, mesh, k=k, seg_top=seg_top, interpret=True)
+        # shard boundaries are block_items-aligned, so segments
+        # partition identically: the sharded result must be
+        # BIT-IDENTICAL to the single-device streaming kernel at the
+        # same geometry (top-k of per-shard top-k == global top-k of
+        # the same candidate set)
+        from ncf_tpu.ops.topk import topk_scores_streaming
+        vr, ir = topk_scores_streaming(
+            q, t, k=k, bias=b, block_items=block_items,
+            seg_width=seg_width, seg_top=seg_top, user_tile=256,
+            interpret=True)
+        vx, ix = topk_scores_xla(q, t, k=k, bias=b)
+        return (np.asarray(vs), np.asarray(ids), np.asarray(vr),
+                np.asarray(ir), np.asarray(vx), np.asarray(ix))
+
+    def test_parity_with_single_device_streaming(self, mesh):
+        vs, ids, vr, ir, vx, ix = self._run(mesh)
+        np.testing.assert_array_equal(vs, vr)
+        np.testing.assert_array_equal(ids, ir)
+        # and recall vs exact follows the surfacing model (loose bound)
+        recall = np.mean([np.isin(ix[r], ids[r]).mean()
+                          for r in range(len(ix))])
+        assert recall > 0.8
+
+    def test_no_bias(self, mesh):
+        vs, ids, vr, ir, *_ = self._run(mesh, bias=False)
+        np.testing.assert_array_equal(vs, vr)
+        np.testing.assert_array_equal(ids, ir)
+
+    def test_k_exceeds_shard(self, mesh):
+        # k=10 with only 4 surfaceable candidates (2 segments x seg_top
+        # across 72 real rows): the filled slots must match the
+        # single-device kernel; unfilled slots are NEG_INF in both
+        # (their ids are implementation-defined carry garbage)
+        vs, ids, vr, ir, vx, ix = self._run(mesh, I=72, k=10,
+                                            block_items=64)
+        filled = vr > -1e38
+        np.testing.assert_array_equal(filled, vs > -1e38)
+        np.testing.assert_array_equal(np.where(filled, ids, -1),
+                                      np.where(filled, ir, -1))
+        assert (ids < 72).all()
+
+    def test_table_built_once_is_reused(self, mesh):
+        """The prepared table array is identical across calls (the
+        re-fold the unprepared path pays per call happens zero times
+        here)."""
+        from ncf_tpu.parallel.sharded_topk import (
+            shard_prepare_items, sharded_topk_scores_prepared)
+
+        rng = np.random.default_rng(5)
+        q1 = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+        q2 = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(300, 16)), jnp.float32)
+        prep = shard_prepare_items(t, None, mesh, block_items=64,
+                                   seg_width=64)
+        tbl = prep.table
+        sharded_topk_scores_prepared(q1, prep, mesh, k=5, interpret=True)
+        sharded_topk_scores_prepared(q2, prep, mesh, k=5, interpret=True)
+        assert prep.table is tbl
