@@ -1,5 +1,4 @@
 from ncf_tpu.ops.embedding import embedding_lookup, get_impl, set_impl
-from ncf_tpu.ops.pallas_attention import fused_single_query_attention
 from ncf_tpu.ops.topk import (
     PreparedItems,
     PreparedItemsInt8,
@@ -19,7 +18,6 @@ __all__ = [
     "embedding_lookup",
     "get_impl",
     "set_impl",
-    "fused_single_query_attention",
     "PreparedItems",
     "PreparedItemsInt8",
     "prepare_items",

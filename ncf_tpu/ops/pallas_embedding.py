@@ -2,10 +2,25 @@
 
 The fbgemm/TorchRec embedding-kernel equivalent (SURVEY.md §2.8: the
 reference's native embedding compute lives in fbgemm-gpu CUDA kernels,
-Dockerfile:24-28).  XLA's dynamic-gather issues dependent row reads that
-measured ~15 GB/s effective on v5e for 64-wide rows; this kernel keeps
-many row DMAs in flight (ids scalar-prefetched to SMEM, one DMA semaphore
-per in-flight slot) to hide HBM random-access latency.
+Dockerfile:24-28): ids scalar-prefetched to SMEM, one row DMA per id
+with _INFLIGHT outstanding copies, _UNROLL issues per loop iteration.
+
+STATUS (measured 2026-08-20, v5e, 81920 random 256-byte rows from a
+1M x 64 f32 table, scan-chained marginal timing): NOT the default —
+XLA's gather wins and the gap is structural, not tunable.  This kernel
+is DMA-ISSUE-RATE bound on the scalar core (~60 ns per row issue):
+in-flight depth 16 -> 64 changes nothing (5.83 -> 5.74 ms), loop
+unrolling 1 -> 8 only amortizes loop overhead (5.83 -> 5.02 ms), vs
+XLA gather ~2.8 ms.  Closing the 1.8x would need either multiple rows
+per DMA (impossible for random ids) or a vectorized in-VMEM gather
+primitive Mosaic does not expose; a sort-ids + stream-the-whole-table
+design moves the HBM traffic to sequential block DMAs but still pays
+the same per-row scalar-issued VMEM copies, and the un-permute gather
+at the end re-introduces the original problem.  Kept as the measured
+alternative (parity-tested, selectable via ops.embedding.set_impl);
+the production grad path is the Pallas one-hot-MXU scatter kernel
+(ops/pallas_scatter.py), which IS the default where its cost model
+wins.
 
 Backward is a scatter-add over possibly-duplicate ids; it uses XLA's
 scatter (sort+segment variants measured equal) — a Pallas read-modify-
@@ -22,14 +37,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# ids processed per grid step; DMAs kept in flight per step
-_CHUNK = 512
-_INFLIGHT = 16
+# ids processed per grid step / DMAs in flight / issues per loop
+# iteration (measured best: 5.02 ms at 1024/32/8 vs 5.83 at 512/16/1)
+_CHUNK = 1024
+_INFLIGHT = 32
+_UNROLL = 8
 
 
 def _gather_kernel(ids_ref, table_ref, out_ref, sems):
     """One grid step: DMA _CHUNK rows table[ids[base+c]] -> out[c], with
-    _INFLIGHT outstanding copies."""
+    _INFLIGHT outstanding copies, _UNROLL issue pairs per iteration."""
     gi = pl.program_id(0)
     base = gi * _CHUNK
 
@@ -44,17 +61,19 @@ def _gather_kernel(ids_ref, table_ref, out_ref, sems):
     for s in range(_INFLIGHT):
         get_dma(s, s).start()
 
-    def body(c, _):
-        slot = jax.lax.rem(c, _INFLIGHT)
-        get_dma(c, slot).wait()
+    def body(c0, _):
+        for u in range(_UNROLL):
+            c = c0 * _UNROLL + u
+            slot = jax.lax.rem(c, _INFLIGHT)
+            get_dma(c, slot).wait()
 
-        @pl.when(c + _INFLIGHT < _CHUNK)
-        def _():
-            get_dma(c + _INFLIGHT, slot).start()
+            @pl.when(c + _INFLIGHT < _CHUNK)
+            def _():
+                get_dma(c + _INFLIGHT, slot).start()
 
         return ()
 
-    jax.lax.fori_loop(0, _CHUNK, body, (), unroll=False)
+    jax.lax.fori_loop(0, _CHUNK // _UNROLL, body, (), unroll=False)
 
 
 def _pack_128_lanes(table: jax.Array):
