@@ -36,6 +36,7 @@ from ncf_tpu.serving.dtos import (
     BatchRecommendationRequest,
     BatchRecommendationResponse,
     ErrorResponse,
+    IntelligenceRequest,
     ProductMetadata,
     ProductRecommendation,
     RecommendationRequest,
@@ -159,6 +160,48 @@ class RecommendationAPI:
             results=results,
             total_time_ms=(time.perf_counter() - t0) * 1000)
 
+    def intelligence(self, req: IntelligenceRequest) -> Dict:
+        """POST /api/v1/intelligence — recommendations + the Model
+        Intelligence Dashboard payload for the web demo (reference
+        demo/app.py:79-248; hour set = forward_simple hour-of-day
+        scoring, :43-77)."""
+        import numpy as np
+
+        from ncf_tpu.serving.intelligence import intelligence_report
+
+        uid = self._resolve_customer(req.customer_id)
+        if req.hour is not None:
+            scores, items, ms = self.server.recommend_hourly(
+                uid, hour=req.hour, k=req.num_recommendations)
+        else:
+            scores, items, ms = self.server.recommend(
+                uid, k=req.num_recommendations)
+        # a small user sample stabilizes the head-importance statistic
+        # (the reference averages over its sampled customers)
+        sample = np.arange(
+            min(32, self.server.cfg.model.num_users), dtype=np.int32)
+        report = intelligence_report(
+            self.server.params, self.server.cfg.model, uid,
+            scores, items, sample_users=sample)
+        return {
+            "customer_id": req.customer_id,
+            "hour": req.hour,
+            "inference_time_ms": ms,
+            "model_version": self.server.model_version,
+            "recommendations": [
+                {"product_id": str(int(it)), "score": float(sc),
+                 "rank": r + 1}
+                for r, (sc, it) in enumerate(zip(scores, items))],
+            "intelligence": report,
+        }
+
+    def demo_page(self) -> str:
+        """GET /demo — the self-contained web demo page (Streamlit app
+        analogue, reference demo/app.py:250)."""
+        from ncf_tpu.api.demo_page import DEMO_HTML
+
+        return DEMO_HTML
+
     def health(self) -> Dict:
         """GET /health (routes.py:175-178)."""
         return {"status": "healthy",
@@ -208,6 +251,9 @@ class RecommendationAPI:
                 resp = self.recommendations_batch(
                     BatchRecommendationRequest.model_validate(body or {}))
                 status, payload = 200, resp.model_dump()
+            elif method == "POST" and path == "/api/v1/intelligence":
+                status, payload = 200, self.intelligence(
+                    IntelligenceRequest.model_validate(body or {}))
             elif method == "POST" and path == "/api/v1/index/refresh":
                 status, payload = 200, self.index_refresh(body or {})
             else:
@@ -251,6 +297,15 @@ def make_handler(api: RecommendationAPI):
             self.wfile.write(raw)
 
         def do_GET(self):
+            if self.path.rstrip("/") == "/demo":
+                raw = api.demo_page().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(raw)))
+                self.send_header("Cache-Control", "no-store, max-age=0")
+                self.end_headers()
+                self.wfile.write(raw)
+                return
             status, payload = api.dispatch("GET", self.path, None)
             self._respond(status, payload)
 

@@ -66,6 +66,11 @@ class FeatureCache:
     (cache.py:68-209 surface: get/set_features, get/set_embedding,
     invalidate, hit-rate metric emission)."""
 
+    # consecutive redis failures before the backend is dropped for the
+    # process lifetime (every op already falls back to the local store,
+    # so a flapping Redis only costs latency — this caps even that)
+    _MAX_REDIS_FAILURES = 8
+
     def __init__(
         self,
         feature_ttl_s: int = 3600,       # cache.py:86
@@ -80,8 +85,9 @@ class FeatureCache:
         self._misses = 0
         self._lock = threading.Lock()
         self._redis = None
+        self._redis_failures = 0
         if redis_url:
-            try:  # pragma: no cover - redis not in image
+            try:
                 import pickle
 
                 import redis
@@ -94,16 +100,41 @@ class FeatureCache:
 
     # ------------------------------------------------------------- helpers
 
+    def _redis_failed(self, op: str, exc: Exception) -> None:
+        """Network-boundary error policy (the reference dereferences
+        self.redis unconditionally and would 500 on a Redis outage,
+        SURVEY.md §2.9.7): count the failure, fall back to the local
+        store for this op, and drop the backend entirely after
+        _MAX_REDIS_FAILURES consecutive errors."""
+        import logging
+
+        self._redis_failures += 1
+        log = logging.getLogger(__name__)
+        log.warning("redis %s failed (%s); using local cache", op, exc)
+        if self._redis_failures >= self._MAX_REDIS_FAILURES:
+            log.error("redis disabled after %d consecutive failures",
+                      self._redis_failures)
+            self._redis = None
+
     def _get(self, key: str) -> Optional[Any]:
-        if self._redis is not None:  # pragma: no cover
-            raw = self._redis.get(key)
-            return self._pickle.loads(raw) if raw is not None else None
+        if self._redis is not None:
+            try:
+                raw = self._redis.get(key)
+                self._redis_failures = 0
+                return (self._pickle.loads(raw)
+                        if raw is not None else None)
+            except Exception as e:  # noqa: BLE001 - network boundary
+                self._redis_failed("get", e)
         return self._local.get(key)
 
     def _set(self, key: str, value: Any, ttl: float) -> None:
-        if self._redis is not None:  # pragma: no cover
-            self._redis.setex(key, int(ttl), self._pickle.dumps(value))
-            return
+        if self._redis is not None:
+            try:
+                self._redis.setex(key, int(ttl), self._pickle.dumps(value))
+                self._redis_failures = 0
+                return
+            except Exception as e:  # noqa: BLE001 - network boundary
+                self._redis_failed("set", e)
         self._local.set(key, value, ttl)
 
     def _record(self, hit: bool) -> None:
@@ -136,6 +167,14 @@ class FeatureCache:
         self._set(f"embedding:{key}", embedding, self.embedding_ttl)
 
     def invalidate(self, customer_id: str) -> None:
+        # fixed vs round 1: the redis branch used to skip the backend
+        # and only clear the local store, leaving stale entries live
+        if self._redis is not None:
+            try:
+                self._redis.delete(f"features:{customer_id}",
+                                   f"embedding:{customer_id}")
+            except Exception as e:  # noqa: BLE001 - network boundary
+                self._redis_failed("delete", e)
         self._local.delete(f"features:{customer_id}")
         self._local.delete(f"embedding:{customer_id}")
 

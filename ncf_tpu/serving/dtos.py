@@ -43,6 +43,16 @@ class RecommendationResponse(BaseModel):
     inference_time_ms: float
 
 
+class IntelligenceRequest(BaseModel):
+    """POST /api/v1/intelligence — the web demo's dashboard query
+    (reference: demo/app.py:79-248 Model Intelligence Dashboard +
+    the :43-77 hour-of-day toggle)."""
+
+    customer_id: str
+    num_recommendations: int = Field(default=10, ge=1, le=100)
+    hour: Optional[int] = Field(default=None, ge=0, le=23)
+
+
 class BatchRecommendationRequest(BaseModel):
     customer_ids: List[str] = Field(..., max_length=100)  # models.py max 100
     num_recommendations: int = Field(default=10, ge=1, le=100)

@@ -163,6 +163,23 @@ class ModelServer:
         ms = (time.perf_counter() - t0) * 1000
         return scores[0], idxs[0], ms
 
+    def recommend_hourly(self, user_id: int, hour: int, k: int = 10):
+        """Top-k under the demo's hour-of-day scoring (reference
+        forward_simple + demo/app.py:43-77 hour toggle).  Routes to the
+        scorer's exact hourly decomposition when available; other models
+        fall back to a temporal context with the given hour."""
+        t0 = time.perf_counter()
+        uids = np.asarray([user_id], np.int32)
+        if hasattr(self.scorer, "topk_for_users_hourly"):
+            scores, idxs = self.scorer.topk_for_users_hourly(
+                uids, hour=int(hour), k=k)
+        else:
+            scores, idxs = self.scorer.topk_for_users(
+                uids, k=k, temporal={"hour": int(hour), "day": 0,
+                                     "month": 0, "day_of_year": 0})
+        ms = (time.perf_counter() - t0) * 1000
+        return scores[0], idxs[0], ms
+
     def recommend_batch(self, user_ids, k: int = 10,
                         temporal: Optional[Dict[str, int]] = None):
         t0 = time.perf_counter()

@@ -161,3 +161,55 @@ class TestErrorHandling:
             f"{base}/api/v1/recommendations/batch", "POST",
             {"customer_ids": [str(i) for i in range(101)]})
         assert status == 422  # max 100 (models.py DTO)
+
+
+class TestDemoSurface:
+    def test_intelligence_endpoint(self, live_api):
+        base, _ = live_api
+        status, body, _ = _request(
+            f"{base}/api/v1/intelligence", "POST",
+            {"customer_id": "3", "num_recommendations": 5})
+        assert status == 200
+        assert len(body["recommendations"]) == 5
+        assert body["recommendations"][0]["rank"] == 1
+        intel = body["intelligence"]
+        assert len(intel["attention_head_importance"]) == 4
+        assert len(intel["confidence"]["counts"]) == 10
+        ci = intel["component_importance"]
+        assert abs(ci["mf"] + ci["mlp"] - 1.0) < 1e-6
+        assert len(intel["normalized_scores"]) == 5
+
+    def test_intelligence_hourly(self, live_api):
+        base, _ = live_api
+        s9, b9, _ = _request(
+            f"{base}/api/v1/intelligence", "POST",
+            {"customer_id": "3", "num_recommendations": 5, "hour": 9})
+        s17, b17, _ = _request(
+            f"{base}/api/v1/intelligence", "POST",
+            {"customer_id": "3", "num_recommendations": 5, "hour": 17})
+        assert s9 == 200 and s17 == 200
+        assert b9["hour"] == 9 and b17["hour"] == 17
+        # the hour modulation must actually change the scoring
+        assert (b9["recommendations"] != b17["recommendations"]
+                or b9["intelligence"]["normalized_scores"]
+                != b17["intelligence"]["normalized_scores"])
+
+    def test_intelligence_validation(self, live_api):
+        base, _ = live_api
+        status, body, _ = _request(
+            f"{base}/api/v1/intelligence", "POST",
+            {"customer_id": "3", "hour": 99})
+        assert status == 422
+
+    def test_demo_page_served(self, live_api):
+        base, _ = live_api
+        req = urllib.request.Request(f"{base}/demo")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode()
+        assert "Model Intelligence" in html
+        assert "/api/v1/intelligence" in html
+        # self-contained: no external asset loads (zero-egress image)
+        assert "http://" not in html.replace("http://www.w3.org", "")
+        assert "https://" not in html
