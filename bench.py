@@ -157,6 +157,51 @@ def bench_serving_qps():
     return B / dt, dt * 1e3
 
 
+def bench_serving_qps_int8():
+    """The int8 retrieval tier at the same shape ('int8-fast' serving
+    preset: no rescore, seg 128/1; recall 0.966, BENCH_NOTES ladder).
+    Same chained-scan methodology as bench_serving_qps."""
+    from ncf_tpu.ops.topk import (prepare_items_int8,
+                                  topk_scores_streaming_int8)
+
+    rng = np.random.default_rng(0)
+    B, I, D = 1024, 1_000_000, 64
+    q0 = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(I,)), jnp.float32)
+    prep = jax.block_until_ready(
+        prepare_items_int8(t, bias, q0, seg_width=128))
+    n = 5
+
+    def make_run(nn):
+        @jax.jit
+        def run(q0, prep):
+            def body(q, _):
+                v, _i = topk_scores_streaming_int8(q, prep, 10, seg_top=1)
+                return q0 + v[0, 0] * 1e-30, ()
+            q, _ = jax.lax.scan(body, q0, None, length=nn)
+            return q
+        return run
+
+    import numpy as _np
+
+    def timed(nn):
+        run = make_run(nn)
+        out = run(q0, prep)
+        _ = _np.asarray(out)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run(q0, prep)
+            _ = _np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = timed(n), timed(4 * n)
+    dt = (t_long - t_short) / (3 * n)
+    return B / dt, dt * 1e3
+
+
 def read_convergence():
     """Best leave-one-out metrics across all recorded convergence runs
     (results/*_metrics.jsonl), if present."""
@@ -222,6 +267,12 @@ def main():
     if qps is not None:
         detail["serving_topk_users_per_s_1M_items"] = round(qps, 1)
         detail["serving_topk_ms_per_1024_users"] = round(serve_ms, 3)
+    try:
+        qps8, serve8_ms = bench_serving_qps_int8()
+        detail["serving_topk_int8_users_per_s_1M_items"] = round(qps8, 1)
+        detail["serving_topk_int8_ms_per_1024_users"] = round(serve8_ms, 3)
+    except Exception:
+        pass
     conv = read_convergence()
     if conv:
         detail["ml1m_scale_leave_one_out"] = conv
