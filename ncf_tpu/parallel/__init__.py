@@ -1,6 +1,7 @@
 from ncf_tpu.parallel.embedding_sharding import ShardedEmbedding
 from ncf_tpu.parallel.sharded_topk import (
-    ShardedPreparedItems, shard_items, shard_prepare_items,
+    ShardedPreparedItems, ShardedPreparedItemsInt8, shard_items,
+    shard_prepare_items, shard_prepare_items_int8,
     sharded_topk_scores, sharded_topk_scores_prepared)
 from ncf_tpu.parallel.multihost import (
     initialize_distributed,
@@ -40,8 +41,10 @@ __all__ = [
     "shard_pytree",
     "pad_rows",
     "ShardedPreparedItems",
+    "ShardedPreparedItemsInt8",
     "shard_items",
     "shard_prepare_items",
+    "shard_prepare_items_int8",
     "sharded_topk_scores",
     "sharded_topk_scores_prepared",
 ]

@@ -30,9 +30,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ncf_tpu.ops.topk import (NEG_INF, PreparedItems, _auto_block_items,
-                              _fold_bias_columns, topk_scores,
-                              topk_scores_streaming)
+from ncf_tpu.ops.topk import (NEG_INF, PreparedItems, PreparedItemsInt8,
+                              _auto_block_items, _fold_bias_columns,
+                              prepare_items_int8, topk_scores,
+                              topk_scores_streaming,
+                              topk_scores_streaming_int8)
 
 
 def shard_items(
@@ -94,6 +96,89 @@ def sharded_topk_scores(
     fn = jax.shard_map(local, mesh=mesh, in_specs=specs_in,
                        out_specs=(P(), P()), check_vma=False)
     return fn(queries, items, bias)
+
+
+class ShardedPreparedItemsInt8:
+    """Row-sharded int8 catalog for :func:`sharded_topk_scores_prepared`
+    — the sharded counterpart of ``ops.topk.PreparedItemsInt8``.
+
+    This is where the int8 tier's HBM halving actually bites: a
+    100M-item x d=64 catalog is ~13 GB in bf16 (augmented) but ~6.7 GB
+    in int8, so half as many chips hold it.  Scores come back
+    dequantized (LSB = q_scale, one global scale so the ICI merge
+    compares like with like); there is no sharded exact-rescore phase —
+    the sharded tier has 'int8-fast' semantics.  Build via
+    :func:`shard_prepare_items_int8`."""
+
+    def __init__(self, table: jax.Array, col_scale: jax.Array,
+                 q_scale: jax.Array, num_items: int, dim: int,
+                 block_items: int, seg_width: int, user_tile: int):
+        self.table = table            # [ndev * rows_loc, dim + 3] int8
+        self.col_scale = col_scale    # [dim] f32, replicated
+        self.q_scale = q_scale        # [] f32, replicated
+        self.num_items = num_items
+        self.dim = dim
+        self.block_items = block_items
+        self.seg_width = seg_width
+        self.user_tile = user_tile
+
+    def tree_flatten(self):
+        return ((self.table, self.col_scale, self.q_scale),
+                (self.num_items, self.dim, self.block_items,
+                 self.seg_width, self.user_tile))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(
+    ShardedPreparedItemsInt8,
+    lambda p: p.tree_flatten(),
+    ShardedPreparedItemsInt8.tree_unflatten)
+
+
+def shard_prepare_items_int8(
+    items: jax.Array,              # [I, D]
+    bias: Optional[jax.Array],     # [I] or None
+    queries: jax.Array,            # [N, D] query sample fixing q_scale
+    mesh: Mesh,
+    axis_name: str = "ici",
+    block_items: Optional[int] = None,
+    seg_width: int = 128,
+    user_tile: int = 256,
+) -> ShardedPreparedItemsInt8:
+    """Quantize + shard the catalog once for the int8 sharded tier:
+    one GLOBAL quantization (per-dimension item scales, one query/bias
+    scale — so dequantized scores are comparable across shards in the
+    merge), padded so every shard's row count is a block multiple.
+    Padded rows carry the bias-digit floor and lose every merge against
+    any real candidate above it (see ops.topk guarantee note)."""
+    I, D = items.shape
+    if block_items is None:
+        block_items = _auto_block_items(D, 1, user_tile, seg_width)
+    if block_items % seg_width:
+        raise ValueError("block_items must be a multiple of seg_width")
+    ndev = mesh.shape[axis_name]
+    chunk = ndev * block_items
+    ipad = -(-I // chunk) * chunk
+    # reuse the single-chip quantizer at the sharded pad size: it pads
+    # to a block multiple itself, so ask it for exactly ipad rows by
+    # pre-padding the input with rows it will floor out anyway
+    base = prepare_items_int8(items, bias, queries,
+                              block_items=block_items,
+                              seg_width=seg_width, user_tile=user_tile)
+    table = base.table
+    if table.shape[0] < ipad:
+        pad = jnp.zeros((ipad - table.shape[0], D + 3), jnp.int8)
+        pad = pad.at[:, D:].set(jnp.int8(-127))
+        table = jnp.concatenate([table, pad], axis=0)
+    table = jax.device_put(table, NamedSharding(mesh, P(axis_name, None)))
+    rep = NamedSharding(mesh, P())
+    return ShardedPreparedItemsInt8(
+        table, jax.device_put(base.col_scale, rep),
+        jax.device_put(base.q_scale, rep), I, D, block_items, seg_width,
+        user_tile)
 
 
 class ShardedPreparedItems:
@@ -188,16 +273,26 @@ def sharded_topk_scores_prepared(
     rows_loc = items.table.shape[0] // ndev
     num_items = items.num_items
     k = min(k, num_items)
+    is_int8 = isinstance(items, ShardedPreparedItemsInt8)
 
-    def local(q, t_loc):
+    def local(q, t_loc, *scales):
         # the local slice is a valid single-chip prepared table: padded
-        # rows carry NEG_INF hi columns and lose every segment
-        prep = PreparedItems(t_loc, rows_loc, items.dim,
-                             items.block_items, items.seg_width,
-                             items.user_tile)
+        # rows carry NEG_INF hi columns (bf16) / the bias-digit floor
+        # (int8) and lose every merge against real candidates
         kk = min(k, rows_loc)
-        vals, idxs = topk_scores_streaming(
-            q, prep, kk, seg_top=seg_top, interpret=interpret)
+        if is_int8:
+            prep = PreparedItemsInt8(t_loc, scales[0], scales[1],
+                                     rows_loc, items.dim,
+                                     items.block_items, items.seg_width,
+                                     items.user_tile)
+            vals, idxs = topk_scores_streaming_int8(
+                q, prep, kk, seg_top=seg_top, interpret=interpret)
+        else:
+            prep = PreparedItems(t_loc, rows_loc, items.dim,
+                                 items.block_items, items.seg_width,
+                                 items.user_tile)
+            vals, idxs = topk_scores_streaming(
+                q, prep, kk, seg_top=seg_top, interpret=interpret)
         gids = idxs + jax.lax.axis_index(axis_name) * rows_loc
         gids = jnp.minimum(gids, num_items - 1)
         av = jax.lax.all_gather(vals, axis_name, axis=1, tiled=True)
@@ -205,6 +300,11 @@ def sharded_topk_scores_prepared(
         mv, sel = jax.lax.top_k(av, k)
         return mv, jnp.take_along_axis(ai, sel, axis=1)
 
+    if is_int8:
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P(), P(axis_name, None), P(), P()),
+                           out_specs=(P(), P()), check_vma=False)
+        return fn(queries, items.table, items.col_scale, items.q_scale)
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(), P(axis_name, None)),
                        out_specs=(P(), P()), check_vma=False)

@@ -137,3 +137,57 @@ class TestShardedPreparedTopk:
         sharded_topk_scores_prepared(q1, prep, mesh, k=5, interpret=True)
         sharded_topk_scores_prepared(q2, prep, mesh, k=5, interpret=True)
         assert prep.table is tbl
+
+
+class TestShardedInt8Topk:
+    """The int8 sharded tier: global quantization means each shard's
+    slice equals the single-device int8 prepared table, so results are
+    bit-identical to the single-device int8 kernel."""
+
+    def _run(self, mesh, I=1000, B=16, D=16, k=8, seg_top=1,
+             block_items=128, seg_width=32):
+        from ncf_tpu.ops.topk import (prepare_items_int8,
+                                      topk_scores_streaming_int8)
+        from ncf_tpu.parallel.sharded_topk import (
+            shard_prepare_items_int8, sharded_topk_scores_prepared)
+
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(I,)), jnp.float32)
+        prep = shard_prepare_items_int8(
+            t, b, q, mesh, block_items=block_items, seg_width=seg_width)
+        assert prep.table.dtype == jnp.int8
+        assert prep.table.shape[0] % (8 * block_items) == 0
+        vs, ids = sharded_topk_scores_prepared(
+            q, prep, mesh, k=k, seg_top=seg_top, interpret=True)
+        ref = prepare_items_int8(t, b, q, block_items=block_items,
+                                 seg_width=seg_width)
+        vr, ir = topk_scores_streaming_int8(
+            q, ref, k, seg_top=seg_top, interpret=True)
+        return (np.asarray(vs), np.asarray(ids),
+                np.asarray(vr), np.asarray(ir), q, t, b)
+
+    def test_bit_identical_to_single_device(self, mesh):
+        vs, ids, vr, ir, *_ = self._run(mesh)
+        filled = vr > -1e38
+        np.testing.assert_array_equal(np.where(filled, ids, -1),
+                                      np.where(filled, ir, -1))
+        np.testing.assert_array_equal(np.where(filled, vs, 0),
+                                      np.where(filled, vr, 0))
+
+    def test_seg_top2(self, mesh):
+        vs, ids, vr, ir, *_ = self._run(mesh, seg_top=2, k=10)
+        filled = vr > -1e38
+        np.testing.assert_array_equal(np.where(filled, ids, -1),
+                                      np.where(filled, ir, -1))
+
+    def test_recall_vs_exact(self, mesh):
+        vs, ids, vr, ir, q, t, b = self._run(mesh, I=4000, B=24,
+                                             seg_width=16, k=10)
+        _, ix = topk_scores_xla(q, t, k=10, bias=b)
+        ix = np.asarray(ix)
+        recall = np.mean([np.isin(ix[r], ids[r]).mean()
+                          for r in range(len(ix))])
+        assert recall > 0.8
+        assert (ids < 4000).all()
