@@ -332,8 +332,10 @@ def serve(api: RecommendationAPI, host: str = "127.0.0.1",
     if background:
         thread = threading.Thread(target=httpd.serve_forever, daemon=True)
         thread.start()
-        log.info("API serving on %s:%d (background)", host, port)
+        log.info("API serving on %s:%d (background); web demo at "
+                 "http://%s:%d/demo", host, port, host, port)
     else:
-        log.info("API serving on %s:%d", host, port)
+        log.info("API serving on %s:%d; web demo at http://%s:%d/demo",
+                 host, port, host, port)
         httpd.serve_forever()
     return httpd
