@@ -592,6 +592,10 @@ _INT_NEG = -(2 ** 30)
 # bias digit range with query-side weights (127, 127, 1): see
 # _bias_digits — |B_int| <= 127*254 + 64
 _BIAS_INT_LIM = 32322.0
+# accumulator value of a padded row: zero vector + all digits at -127
+# (127*-127 + 127*-127 + -127); winners at or below this floor report
+# as empty slots (see topk_scores_streaming_int8)
+_PAD_FLOOR = -32385.0
 
 
 class PreparedItemsInt8:
@@ -694,6 +698,17 @@ def prepare_items_int8(
     pass the full static user-query table (or a [1, D] per-dimension
     max-abs row for a cheap exact bound)."""
     I, D = items.shape
+    if seg_width & (seg_width - 1):
+        # the packed-key recovery shifts by log2(seg_width) and masks
+        # seg_width-1: silently wrong for non-powers-of-two
+        raise ValueError("seg_width must be a power of two")
+    if D > 1024:
+        # merge exactness and key packing assume |acc| <= D*127^2 +
+        # 32385 < 2^24 (exact in the f32 carry) and |acc|*seg_width <
+        # 2^31 (no int32 wrap): both bound D at ~1038
+        raise ValueError(
+            f"int8 tier supports dim <= 1024 (got {D}): the packed-key "
+            "accumulator bound |acc| < 2^24 would not hold")
     if block_items is None:
         block_items = _auto_block_items(D, 1, user_tile, seg_width)
     if block_items % seg_width:
@@ -726,26 +741,26 @@ def prepare_items_int8(
                              block_items, seg_width, user_tile)
 
 
-def _streaming_kernel_int8(block_items, seg_width, k, seg_top, num_items,
+def _streaming_kernel_int8(block_items, seg_width, k, seg_top,
                            t_ref, q_ref, vout, iout, vals_c, idx_c):
     """Int8 variant of ``_streaming_kernel``: int8 x int8 -> int32 MXU
     matmul (bias pre-folded as weighted digit columns), per-segment
     top-``seg_top`` in the integer domain, then the same f32 running
-    merge (int32 accumulators are < 2^22, exact in f32).
+    merge (|acc| < 2^24 enforced at prepare time, exact in f32).
 
     Integer accumulators buy a trick f32 scores cannot have: the
     (score, within-segment offset) pair packs LOSSLESSLY into one int32
-    key ``acc * seg_width + (seg_width-1 - offset)`` (|acc| < 2^22,
-    offset < 2^7), so the per-segment max and its argmax are ONE
-    reduction pass instead of max + equality + min (measured ~0.2 ms of
-    the 1.8 ms call).  Ties resolve to the lowest offset via the
-    complemented offset bits, matching the bf16 kernel.
+    key ``acc * seg_width + (seg_width-1 - offset)``, so the
+    per-segment max and its argmax are ONE reduction pass instead of
+    max + equality + min (measured ~0.5-0.8 ms of the call).  Ties
+    resolve to the lowest offset via the complemented offset bits,
+    matching the bf16 kernel.
 
-    Padded rows are never masked here: prepare_items_int8 gives them a
-    bias at the digit floor (-32385), ~255x below the representable
-    score range, so they surface only if fewer than k real catalog
-    scores beat that floor — see the guarantee note on
-    ``topk_scores_streaming_int8``."""
+    Padded rows are never masked here (an element mask costs 3 VPU
+    passes over the full tile, measured ~0.5 ms): prepare_items_int8
+    gives them a zero vector + the bias digit floor (acc = -32385
+    exactly), and the caller maps any returned winner at or below the
+    floor to an empty slot — see ``topk_scores_streaming_int8``."""
     i = pl.program_id(1)
     ni = pl.num_programs(1)
     TU = q_ref.shape[0]
@@ -813,6 +828,15 @@ def topk_scores_streaming_int8(
     ``topk_scores_streaming``) and score quantization flipping
     near-ties at the top-k boundary — both measured on the recall
     ladder in BENCH_NOTES.
+
+    Padded-row guarantee: padded rows score exactly ``_PAD_FLOOR``
+    (-32385 int units — reachable by real items, whose accumulators
+    extend ~32x further down at D=64), and any winner at or below the
+    floor is returned as an EMPTY SLOT (value NEG_INF).  So results
+    never contain a plausible-looking id backed by a padded row; slots
+    go empty only when fewer than k catalog scores clear the floor,
+    i.e. ~32000 quantization LSBs below zero — far outside anything a
+    recommender would serve.
     """
     if seg_top not in (1, 2):
         raise ValueError("seg_top must be 1 or 2")
@@ -838,7 +862,7 @@ def topk_scores_streaming_int8(
     Dk = D + 3
 
     kernel = functools.partial(
-        _streaming_kernel_int8, block_items, seg_width, k, seg_top, I)
+        _streaming_kernel_int8, block_items, seg_width, k, seg_top)
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(Bpad // TU, nblocks),
@@ -869,7 +893,14 @@ def topk_scores_streaming_int8(
             transcendentals=0),
         interpret=interpret,
     )(items.table, q8)
-    vals = vals.T[:B] * items.q_scale
+    # padded rows carry acc == _PAD_FLOOR exactly (zero vector + bias
+    # digit floor); a real row CAN dip that low (|q8.v8| extends ~32x
+    # further), so any winner at or below the floor — padded or a real
+    # item indistinguishable from one — reports as an EMPTY SLOT
+    # (NEG_INF value), never as a plausible-looking clamped id
+    vals = vals.T[:B]
+    valid = vals > _PAD_FLOOR + 0.5
+    vals = jnp.where(valid, vals * items.q_scale, NEG_INF)
     return vals, jnp.minimum(idxs.T[:B], I - 1)
 
 
@@ -1017,16 +1048,8 @@ def topk_scores_segmented(
             + (flat_pos % nseg) * seg_width + offset)         # [B, k]
     idxs = jnp.minimum(idxs, I - 1)
 
-    # exact re-score of winners: gather item vectors, per-pair dot
-    win_vecs = jnp.take(items, idxs, axis=0)                  # [B, k, D]
-    vals = jnp.einsum("bd,bkd->bk", queries.astype(jnp.float32),
-                      win_vecs.astype(jnp.float32))
-    if bias is not None:
-        vals = vals + jnp.take(bias, idxs)
-    # re-sort winners by exact score
-    order = jnp.argsort(-vals, axis=1)
-    return (jnp.take_along_axis(vals, order, axis=1),
-            jnp.take_along_axis(idxs, order, axis=1))
+    # exact re-score + re-sort of winners (shared with the int8 tier)
+    return rescore_exact(queries, items, bias, idxs)
 
 
 def topk_scores(

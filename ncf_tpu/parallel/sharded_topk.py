@@ -162,9 +162,9 @@ def shard_prepare_items_int8(
     ndev = mesh.shape[axis_name]
     chunk = ndev * block_items
     ipad = -(-I // chunk) * chunk
-    # reuse the single-chip quantizer at the sharded pad size: it pads
-    # to a block multiple itself, so ask it for exactly ipad rows by
-    # pre-padding the input with rows it will floor out anyway
+    # quantize with the single-chip quantizer (scales computed over the
+    # REAL rows only), then extend its block-multiple padding up to the
+    # ndev*block_items multiple with more digit-floor rows
     base = prepare_items_int8(items, bias, queries,
                               block_items=block_items,
                               seg_width=seg_width, user_tile=user_tile)

@@ -105,22 +105,28 @@ class FeatureCache:
         self.redis unconditionally and would 500 on a Redis outage,
         SURVEY.md §2.9.7): count the failure, fall back to the local
         store for this op, and drop the backend entirely after
-        _MAX_REDIS_FAILURES consecutive errors."""
+        _MAX_REDIS_FAILURES consecutive errors.  Counter mutations take
+        the lock — handlers run on ThreadingHTTPServer threads."""
         import logging
 
-        self._redis_failures += 1
         log = logging.getLogger(__name__)
         log.warning("redis %s failed (%s); using local cache", op, exc)
-        if self._redis_failures >= self._MAX_REDIS_FAILURES:
-            log.error("redis disabled after %d consecutive failures",
-                      self._redis_failures)
-            self._redis = None
+        with self._lock:
+            self._redis_failures += 1
+            if self._redis_failures >= self._MAX_REDIS_FAILURES:
+                log.error("redis disabled after %d consecutive failures",
+                          self._redis_failures)
+                self._redis = None
+
+    def _redis_ok(self) -> None:
+        with self._lock:
+            self._redis_failures = 0
 
     def _get(self, key: str) -> Optional[Any]:
         if self._redis is not None:
             try:
                 raw = self._redis.get(key)
-                self._redis_failures = 0
+                self._redis_ok()
                 return (self._pickle.loads(raw)
                         if raw is not None else None)
             except Exception as e:  # noqa: BLE001 - network boundary
@@ -131,7 +137,7 @@ class FeatureCache:
         if self._redis is not None:
             try:
                 self._redis.setex(key, int(ttl), self._pickle.dumps(value))
-                self._redis_failures = 0
+                self._redis_ok()
                 return
             except Exception as e:  # noqa: BLE001 - network boundary
                 self._redis_failed("set", e)
@@ -173,6 +179,7 @@ class FeatureCache:
             try:
                 self._redis.delete(f"features:{customer_id}",
                                    f"embedding:{customer_id}")
+                self._redis_ok()
             except Exception as e:  # noqa: BLE001 - network boundary
                 self._redis_failed("delete", e)
         self._local.delete(f"features:{customer_id}")

@@ -296,7 +296,43 @@ class AdvancedNCFScorer:
         filtering, sigmoid."""
         fetch = k if exclude is None else min(
             self.cfg.num_items, k + exclude.shape[1])
-        prep = self._prepared(key, bias, q_maxabs)
+        int8_cap = fetch + (_INT8_OVERFETCH if self._rescore else 0)
+        if self._int8 and int8_cap > 64:
+            # the int8 kernel unrolls its merge (capped at k<=64 in the
+            # dispatch; past it topk_scores would DEQUANTIZE the whole
+            # table per call — a full-catalog copy).  Exclusion-heavy
+            # requests (e.g. 50-item histories) land here routinely:
+            # serve them from the cached bf16 prepared table at 'exact'
+            # settings when fetch still fits the streaming kernel, else
+            # the raw blocked-XLA path (no fold, no unfold) — exact
+            # results either way.
+            prep = None
+            if (fetch <= 64
+                    and self.cfg.num_items >= _PREPARE_MIN_ITEMS
+                    and self.impl in ("auto", "streaming")
+                    and jax.default_backend() == "tpu"):
+                bkey = ("bf16_fallback", key)
+                if bkey not in self._prepared_cache:
+                    if len(self._prepared_cache) >= _PREPARED_CACHE_SIZE:
+                        self._prepared_cache.pop(
+                            next(iter(self._prepared_cache)))
+                    self._prepared_cache[bkey] = prepare_items(
+                        self.item_vecs, bias, seg_width=128)
+                prep = self._prepared_cache[bkey]
+            if prep is not None:
+                vals, idxs = topk_scores(q, prep, fetch, seg_top=2)
+            else:
+                vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
+                                         impl=self.impl, seg_top=2)
+            vals, idxs = np.asarray(vals), np.asarray(idxs)
+            if exclude is not None:
+                vals, idxs = _filter_excluded(vals, idxs, exclude, k)
+            return _sigmoid(vals), idxs
+        # fetch > 64 exceeds the streaming kernel's merge: a prepared
+        # table would be UNFOLDED per call by the dispatch (full-catalog
+        # copy) — the raw blocked-XLA path reads the table in place
+        prep = (self._prepared(key, bias, q_maxabs)
+                if fetch <= 64 else None)
         if prep is not None:
             kern_fetch = fetch
             if self._rescore:

@@ -150,16 +150,11 @@ class Trainer:
                 flat = jax.tree_util.tree_leaves_with_path(
                     jax.tree_util.tree_map(lambda s: s.spec, p_sh))
                 rows_flat = jax.tree_util.tree_leaves_with_path(self.params)
-                sharded_rows = {
+                self._exchange_rows = {
                     leaf.shape[0]
                     for (path, spec), (_, leaf) in zip(flat, rows_flat)
                     if spec and spec[0] is not None}
-                if sharded_rows:
-                    embedding_ops.set_exchange(
-                        mesh, sharded_rows,
-                        cfg.mesh.exchange_capacity_factor)
-                    log.info("explicit all-to-all embedding exchange on "
-                             "for table rows %s", sorted(sharded_rows))
+                self._register_exchange()
             self.batch_shard = batch_sharding(mesh)
             rep = replicated(mesh)
             self.neg_cdf = jax.device_put(self.neg_cdf, rep)
@@ -314,9 +309,22 @@ class Trainer:
                                   step=self.global_step, **out)
         return out
 
+    def _register_exchange(self) -> None:
+        """(Re)register this Trainer's explicit all-to-all exchange in
+        the process-global routing table (ops.embedding)."""
+        from ncf_tpu.ops import embedding as embedding_ops
+
+        if getattr(self, "_exchange_rows", None):
+            embedding_ops.set_exchange(
+                self.mesh, self._exchange_rows,
+                self.cfg.mesh.exchange_capacity_factor)
+            log.info("explicit all-to-all embedding exchange on "
+                     "for table rows %s", sorted(self._exchange_rows))
+
     def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
         """Full loop with early stopping + best/periodic/emergency
         checkpoints (reference trainer.py:412-546)."""
+        self._register_exchange()
         cfg = self.cfg
         num_epochs = num_epochs or cfg.train.num_epochs
         patience = cfg.train.early_stopping_patience
@@ -363,6 +371,17 @@ class Trainer:
             raise
         finally:
             ckpt_lib.wait_for_pending()   # commit in-flight async saves
+            # the explicit-exchange registry is process-global and keyed
+            # only by table row count: left registered, any SERVING
+            # lookup in this process whose table matches (e.g. the
+            # scorer's user_emb) would be silently routed through
+            # shard_map over the stale training mesh — pointless on one
+            # host, a deadlock on many.  pjit-auto lookups still work
+            # for in-training validate(); a post-train validate() falls
+            # back to them too.
+            from ncf_tpu.ops import embedding as embedding_ops
+
+            embedding_ops.clear_exchange()
         return self.best_metrics or {"val_loss": self.best_val}
 
     # ---------------------------------------------------------- checkpoints

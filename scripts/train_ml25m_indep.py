@@ -22,6 +22,11 @@ sys.path.insert(0, ".")
 import jax
 
 jax.config.update("jax_default_prng_impl", "rbg")
+# persistent compile cache: a tunnel stall on a fresh compile burst
+# killed the first attempt of this run 30 min in — on restart, finished
+# compiles are reused (same protection bench.py carries)
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ncf_tpu.data.synthetic import generate_interactions
 from ncf_tpu.train.trainer import Trainer
@@ -57,11 +62,34 @@ def main():
     cfg.train.log_every_steps = 100
 
     t0 = time.time()
-    inter = generate_interactions(
-        num_users=162_541, num_items=62_423, num_days=180,
-        avg_txns_per_user=154, seed=0)
-    print(f"data: {len(inter):,} interactions "
-          f"({time.time() - t0:.0f}s to generate)", flush=True)
+    cache = "/tmp/ml25m_inter_seed0.npz"
+    import os
+
+    import numpy as np
+    if os.path.exists(cache):
+        z = np.load(cache)
+        from ncf_tpu.data.interactions import Interactions
+        inter = Interactions(
+            user_ids=z["user_ids"], item_ids=z["item_ids"],
+            timestamps=z["timestamps"], amounts=z["amounts"],
+            num_users=int(z["num_users"]), num_items=int(z["num_items"]),
+            item_dept=z["item_dept"], item_cat=z["item_cat"],
+            num_departments=int(z["num_departments"]),
+            num_categories=int(z["num_categories"]))
+        print(f"data: {len(inter):,} interactions (cached, "
+              f"{time.time() - t0:.0f}s to load)", flush=True)
+    else:
+        inter = generate_interactions(
+            num_users=162_541, num_items=62_423, num_days=180,
+            avg_txns_per_user=154, seed=0)
+        np.savez(cache, user_ids=inter.user_ids, item_ids=inter.item_ids,
+                 timestamps=inter.timestamps, amounts=inter.amounts,
+                 num_users=inter.num_users, num_items=inter.num_items,
+                 item_dept=inter.item_dept, item_cat=inter.item_cat,
+                 num_departments=inter.num_departments,
+                 num_categories=inter.num_categories)
+        print(f"data: {len(inter):,} interactions "
+              f"({time.time() - t0:.0f}s to generate)", flush=True)
 
     trainer = Trainer(cfg, inter)
     t1 = time.time()

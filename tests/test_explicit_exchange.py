@@ -191,3 +191,23 @@ class TestExplicitExchangeTraining:
         t.train_epoch(0)
         assert t.global_step == len(t.train_iter)
         assert np.isfinite(t.validate(0)["val_loss"])
+
+
+class TestExchangeLifecycle:
+    def test_registry_cleared_after_train(self, inter, tmp_path):
+        """The process-global exchange registry must not outlive
+        training: a serving lookup on a same-row-count table in this
+        process would otherwise be silently routed through shard_map
+        over the stale training mesh (deadlock on real multi-host)."""
+        from ncf_tpu.ops import embedding as embedding_ops
+
+        mesh = make_mesh(dcn=1, ici=8)
+        cfg = cfg_for(tmp_path / "lc", exchange="explicit")
+        cfg.train.num_epochs = 1
+        t = Trainer(cfg, inter, mesh=mesh)
+        assert embedding_ops.get_exchange() is not None
+        t.train()
+        assert embedding_ops.get_exchange() is None
+        # a second train() re-registers for its own duration
+        t.train(num_epochs=1)
+        assert embedding_ops.get_exchange() is None

@@ -346,7 +346,9 @@ class TestInt8StreamingTopk:
                     cands.append((seg2[o2], s * w + o2))
             cands.sort(key=lambda x: (-x[0], x[1]))
             for j in range(k):
-                out_v[b, j] = cands[j][0] * qs
+                # winners at/below the pad floor report as empty slots
+                out_v[b, j] = (cands[j][0] * qs
+                               if cands[j][0] > -32384.5 else -3.0e38)
                 out_i[b, j] = min(cands[j][1], I - 1)
         return out_v, out_i
 

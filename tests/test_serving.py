@@ -432,6 +432,28 @@ class TestInt8RetrievalPreset:
         match = np.mean([np.isin(i8[r], ie[r]).mean() for r in range(2)])
         assert match >= 0.6
 
+    def test_int8_large_fetch_routes_exact(self, big, monkeypatch):
+        """k + exclusion width past the streaming-kernel merge cap must
+        NOT dequantize the catalog per call: it routes to the exact
+        raw/bf16 path and returns exact results."""
+        cfg, params = big
+        exact = AdvancedNCFScorer(params, cfg.model, retrieval="exact")
+        users = np.asarray([0, 1])
+        rng = np.random.default_rng(0)
+        exclude = rng.integers(
+            0, cfg.model.num_items, (2, 60)).astype(np.int32)
+        ve, ie = exact.topk_for_users(users, k=10, exclude=exclude)
+
+        self._patch(monkeypatch)
+        s8 = AdvancedNCFScorer(params, cfg.model, retrieval="int8")
+        v8, i8 = s8.topk_for_users(users, k=10, exclude=exclude)
+        # exact-path results, bit-equal ids, and no int8 table was built
+        np.testing.assert_array_equal(i8, ie)
+        np.testing.assert_allclose(v8, ve, rtol=1e-6)
+        from ncf_tpu.ops.topk import PreparedItemsInt8
+        assert not any(isinstance(p, PreparedItemsInt8)
+                       for p in s8._prepared_cache.values())
+
 
 class TestFeatureCacheRedisBranch:
     """The redis code path, exercised with an in-process fake redis
