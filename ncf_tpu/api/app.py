@@ -62,7 +62,14 @@ class RecommendationAPI:
     ):
         self.server = server
         self.processor = processor
-        self.cache = cache or FeatureCache()
+        if cache is None:
+            scfg = server.cfg.serving
+            cache = FeatureCache(
+                feature_ttl_s=scfg.cache_feature_ttl_s,
+                embedding_ttl_s=scfg.cache_embedding_ttl_s,
+                redis_url=scfg.redis_url or None,
+            )
+        self.cache = cache
         self.metrics = metrics or MetricsLogger()
         self._start_time = time.time()
 

@@ -157,6 +157,11 @@ class ServingConfig:
     host: str = "127.0.0.1"
     port: int = 8080
     model_version: str = "0.1.0"
+    # optional redis backend for the feature/embedding cache
+    # (reference: config/redis.yaml + cache.py:68); "" = in-process
+    # TTL store only.  Every redis op falls back per-call on
+    # connection errors (serving/cache.py).
+    redis_url: str = ""
     # streaming-kernel recall/speed preset: 'exact' (recall 1.0),
     # 'fast' (recall ~0.9998, ~1.7x retrieval QPS), 'int8' (recall
     # ~0.993, exact rescored scores, ~1.45x), or 'int8-fast' (recall
