@@ -9,10 +9,11 @@ so naive loop-and-block timing under-reports massively (a 131-GFLOP matmul
 call's output into the next call's input to force sequential execution.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -27,6 +27,13 @@ import socket
 import subprocess
 import sys
 
+# self-locating: worker subprocesses are spawned as `python <this file>`,
+# which puts scripts/ (not the repo root) on sys.path — the package must
+# resolve without a pip install
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def _free_port() -> int:
     with socket.socket() as s:

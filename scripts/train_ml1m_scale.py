@@ -8,10 +8,11 @@ per-epoch metrics to results/ml1m_scale_metrics.jsonl and the best
 checkpoint to results/ml1m_scale_ckpt/.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

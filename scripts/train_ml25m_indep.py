@@ -17,7 +17,7 @@ results/ml25m_indep_ckpt/.
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -11,10 +11,11 @@ results/ml25m_scale_metrics.jsonl, the best checkpoint to
 results/ml25m_scale_ckpt/.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
