@@ -14,6 +14,7 @@ results/ml25m_indep_metrics.jsonl, the best checkpoint to
 results/ml25m_indep_ckpt/.
 """
 
+import os
 import sys
 import time
 

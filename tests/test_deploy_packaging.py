@@ -60,6 +60,24 @@ def test_cmd_uses_packaged_entrypoint(name):
     pyproject = (REPO / "pyproject.toml").read_text()
     assert re.search(r'^ncf-tpu\s*=\s*"ncf_tpu\.cli:main"',
                      pyproject, re.M), "ncf-tpu console script missing"
+    # Parse the CMD's argv against the real CLI parser so an invalid
+    # flag (e.g. a nonexistent --set) fails here, not at container
+    # start (ADVICE r2: Containerfiles shipped `--set` which the CLI
+    # rejects — this test now catches that class of bug).
+    import shlex
+
+    from ncf_tpu import cli
+
+    argv_str = cmds[0].removeprefix("CMD").strip()
+    # resolve the shell-form env expansions with dummy values
+    argv_str = re.sub(r"\$\{(\w+):\+([^}]*)\}", "", argv_str)
+    argv_str = re.sub(r"\$\{?(\w+)\}?", "X", argv_str)
+    argv = shlex.split(argv_str)
+    assert argv[0] == "ncf-tpu"
+    parser = cli.build_parser()
+    args = parser.parse_args(argv[1:])  # raises SystemExit on bad flags
+    for ov in args.overrides or []:
+        assert re.match(r"^[\w.]+=", ov), f"malformed override {ov!r}"
 
 
 @pytest.mark.parametrize("name", CONTAINERFILES)
