@@ -21,6 +21,8 @@ from ncf_tpu.parallel.mesh import (
     param_spec,
     replicated,
     shard_pytree,
+    state_shardings,
+    state_spec,
 )
 
 __all__ = [
@@ -35,6 +37,8 @@ __all__ = [
     "make_mesh",
     "param_shardings",
     "param_spec",
+    "state_shardings",
+    "state_spec",
     "batch_sharding",
     "stacked_batch_sharding",
     "replicated",

@@ -79,6 +79,35 @@ def param_shardings(params: Any, mesh: Mesh, shard_embeddings: bool = True):
         params)
 
 
+def state_spec(path, leaf, mesh: Mesh, shard_embeddings: bool = True) -> P:
+    """PartitionSpec for an optimizer-state leaf: any state whose path
+    names a table and whose leading axis is the table's row axis shards
+    with the table.  Covers 2D Adam moments ([rows, d], same rule as
+    param_spec) AND the 1D rowwise-Adagrad accumulators ([rows]) that
+    ``train.embedding_optimizer=rowwise_adagrad`` introduces — those are
+    fresh ``jnp.full`` arrays, not ``zeros_like(param)``, so they do not
+    inherit the param sharding and must be placed explicitly."""
+    name = _path_name(path)
+    ici_size = mesh.shape[ICI_AXIS]
+    if (
+        shard_embeddings
+        and ici_size > 1
+        and hasattr(leaf, "ndim") and leaf.ndim in (1, 2)
+        and any(k in name for k in EMBEDDING_TABLE_KEYS)
+        and leaf.shape[0] % ici_size == 0
+    ):
+        return P(ICI_AXIS, *([None] * (leaf.ndim - 1)))
+    return P()
+
+
+def state_shardings(state: Any, mesh: Mesh, shard_embeddings: bool = True):
+    """Pytree of NamedShardings for an optax optimizer state."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, state_spec(path, leaf, mesh, shard_embeddings)),
+        state)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Data-parallel batch: leading axis split over (dcn, ici)."""
     return NamedSharding(mesh, P((DCN_AXIS, ICI_AXIS)))

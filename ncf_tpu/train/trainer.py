@@ -165,6 +165,15 @@ class Trainer:
         # init AFTER sharding: optax states are zeros_like(params) and
         # inherit each param's NamedSharding
         self.opt_state = self.optimizer.init(self.params)
+        if mesh is not None:
+            # rowwise-Adagrad accumulators ([rows] jnp.full, not
+            # zeros_like) don't inherit table sharding — place the whole
+            # state explicitly (no-op for leaves already placed right)
+            from ncf_tpu.parallel import shard_pytree, state_shardings
+            self.opt_state = shard_pytree(
+                self.opt_state,
+                state_shardings(self.opt_state, mesh,
+                                cfg.mesh.shard_embeddings))
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
         if mesh is not None:
             self.rng = jax.device_put(self.rng, replicated(mesh))

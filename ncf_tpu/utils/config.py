@@ -91,6 +91,20 @@ class TrainConfig:
     loss: str = "bce"                   # bce | bpr (north-star training losses)
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
+    embedding_optimizer: str = "adam"   # adam (2 f32 moments per element —
+    #                                     3x table HBM) | rowwise_adagrad
+    #                                     (torchrec/fbgemm ROWWISE_ADAGRAD
+    #                                     class: one f32 scalar per ROW —
+    #                                     ~1.03x; the big-vocab default) |
+    #                                     bf16_adam (Adam with bf16 moments
+    #                                     — 2x).  Dense params always get
+    #                                     full Adam.  See train/optim.py.
+    embedding_learning_rate: float = 0.0  # table LR when it should differ
+    #                                       from learning_rate (torchrec
+    #                                       exposes per-table LRs the same
+    #                                       way; Adagrad-family typically
+    #                                       wants ~10x Adam's). 0 = inherit
+    #                                       learning_rate.
     num_epochs: int = 50
     early_stopping_patience: int = 5
     early_stopping_metric: str = "val_loss"  # val_loss (min) or any ranking
@@ -262,6 +276,10 @@ class Config:
             raise ValueError("batch_size and learning_rate must be positive")
         if m.negative_samples < 1:
             raise ValueError("negative_samples must be >= 1")
+        if t.embedding_optimizer not in ("adam", "rowwise_adagrad", "bf16_adam"):
+            raise ValueError(
+                f"train.embedding_optimizer must be adam | rowwise_adagrad "
+                f"| bf16_adam, got {t.embedding_optimizer!r}")
         if self.mesh.embedding_exchange not in ("pjit", "explicit"):
             raise ValueError(
                 f"mesh.embedding_exchange must be 'pjit' or 'explicit', "
