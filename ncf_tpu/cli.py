@@ -82,7 +82,7 @@ def cmd_train(args) -> int:
 def cmd_evaluate(args) -> int:
     import jax
 
-    from ncf_tpu.evals import EvalSet, evaluate, make_score_fn
+    from ncf_tpu.evals import DeviceEvaluator, EvalSet, sample_eval_users
     from ncf_tpu.models import get_model
     from ncf_tpu.train import checkpoint as ckpt_lib
 
@@ -107,14 +107,19 @@ def cmd_evaluate(args) -> int:
         log.warning("no checkpoint found; evaluating random params")
 
     loo_train, eval_users, eval_items = inter.leave_one_out()
+    eval_users, eval_items = sample_eval_users(
+        eval_users, eval_items, cfg.data.eval_user_sample,
+        seed=cfg.train.seed + 777)
     eval_set = EvalSet.build(inter, eval_users, eval_items,
                              cfg.data.num_eval_negatives, cfg.train.seed)
     eval_history = (loo_train.recent_history(cfg.model.history_len)
                     if cfg.model.use_sequence else None)
-    score_fn = make_score_fn(
-        model, params, cfg.model,
-        inter.item_dept, inter.item_cat, eval_history)
-    metrics = evaluate(score_fn, eval_set)
+    evaluator = DeviceEvaluator(
+        model, cfg.model, eval_set,
+        batch_size=cfg.data.eval_batch_size,
+        item_dept=inter.item_dept, item_cat=inter.item_cat,
+        user_history=eval_history)
+    metrics = evaluator(params)
     print({k: round(v, 4) for k, v in metrics.items()})
     return 0
 

@@ -1,4 +1,11 @@
-from ncf_tpu.evals.evaluate import EvalSet, evaluate, make_score_fn
+from ncf_tpu.evals.evaluate import (
+    DeviceEvaluator,
+    EvalSet,
+    evaluate,
+    make_score_fn,
+    metrics_from_ranks,
+    sample_eval_users,
+)
 from ncf_tpu.evals.metrics import (
     accuracy_stats,
     auc,
@@ -12,7 +19,10 @@ from ncf_tpu.evals.metrics import (
 )
 
 __all__ = [
+    "DeviceEvaluator",
     "EvalSet",
+    "metrics_from_ranks",
+    "sample_eval_users",
     "evaluate",
     "make_score_fn",
     "rank_metrics",

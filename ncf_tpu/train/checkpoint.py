@@ -86,6 +86,7 @@ def save(
     process_index: Optional[int] = None,
     backend: str = "native",
     async_save: bool = False,
+    extra: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Write ``pytree`` under ``directory/ckpt_{step:08d}``.
 
@@ -115,6 +116,7 @@ def save(
             "epoch": int(epoch),
             "metrics": {k: float(v) for k, v in (metrics or {}).items()},
             "config": config or {},
+            "extra": extra or {},
             "backend": "orbax",
             "format_version": 1,
         }
@@ -164,6 +166,7 @@ def save(
         "epoch": int(epoch),
         "metrics": {k: float(v) for k, v in (metrics or {}).items()},
         "config": config or {},
+        "extra": extra or {},
         "leaves": leaf_meta,
         "format_version": 1,
     }

@@ -12,6 +12,7 @@ resume discovery actually exists (fixes §2.9.2).
 
 from __future__ import annotations
 
+import itertools
 import logging
 import time
 from typing import Dict, Optional
@@ -23,7 +24,8 @@ import numpy as np
 from ncf_tpu.data.interactions import Interactions
 from ncf_tpu.data.pipeline import BatchIterator, prefetch_to_device
 from ncf_tpu.data.sampler import make_sampling_cdf
-from ncf_tpu.evals.evaluate import EvalSet, evaluate, make_score_fn
+from ncf_tpu.evals.evaluate import (
+    DeviceEvaluator, EvalSet, sample_eval_users)
 from ncf_tpu.models import get_model
 from ncf_tpu.train import checkpoint as ckpt_lib
 from ncf_tpu.train.optim import make_optimizer
@@ -72,9 +74,13 @@ class Trainer:
         loo_train, eval_users, eval_items = interactions.leave_one_out()
         self.train_inter = train_inter
         self.val_inter = val_inter
+        eval_users, eval_items = sample_eval_users(
+            eval_users, eval_items, cfg.data.eval_user_sample,
+            seed=cfg.train.seed + 777)
         self.eval_set = EvalSet.build(
             interactions, eval_users, eval_items,
             num_negatives=cfg.data.num_eval_negatives, seed=cfg.train.seed)
+        self._device_eval = None  # DeviceEvaluator, built on first validate
 
         train_extra = None
         if cfg.model.use_sequence and cfg.model.causal_history:
@@ -203,6 +209,7 @@ class Trainer:
 
         self.metrics_logger = MetricsLogger(cfg.train.metrics_file or None)
         self.global_step = 0
+        self._resume_dispatch = 0
         self.start_epoch = 0
         self.best_val = float("inf")
         self.best_metrics: Dict[str, float] = {}
@@ -249,8 +256,15 @@ class Trainer:
         t_epoch = time.perf_counter()
         t_window = t_epoch
         spd = cfg.train.steps_per_dispatch
+        # mid-epoch resume: the epoch iterators are deterministic per
+        # (seed, epoch), so continuing is exactly "skip the dispatches
+        # already consumed" with the restored params/opt/rng
+        skip = self._resume_dispatch
+        self._resume_dispatch = 0
         if self.device_pipeline is not None:
             it = self.device_pipeline.epoch(epoch, steps_per_dispatch=spd)
+            if skip:
+                it = itertools.islice(it, skip, None)
         else:
             it = self.train_iter.epoch(epoch)
             shard = self.batch_shard
@@ -262,7 +276,11 @@ class Trainer:
                     from ncf_tpu.parallel import stacked_batch_sharding
 
                     shard = stacked_batch_sharding(shard.mesh)
+            if skip:  # before prefetch: skipped groups are never uploaded
+                it = itertools.islice(it, skip, None)
             it = prefetch_to_device(it, sharding=shard)
+        dispatch = skip
+        every = cfg.train.checkpoint_every_dispatches
         for batch in it:
             k = next(iter(batch.values())).shape[0] if spd > 1 else 1
             self.params, self.opt_state, self.rng, metrics = self.train_step(
@@ -270,6 +288,11 @@ class Trainer:
             n_batches += k
             prev_window = self.global_step // cfg.train.log_every_steps
             self.global_step += k
+            dispatch += 1
+            if every > 0 and dispatch % every == 0:
+                self.save_checkpoint(
+                    epoch, {"mid_epoch": 1.0},
+                    extra={"dispatch": dispatch, "in_epoch": True})
             if self.global_step // cfg.train.log_every_steps != prev_window:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t_window
@@ -309,10 +332,17 @@ class Trainer:
             n += 1
         out = {f"val_{k}": v / max(1, n) for k, v in totals.items()}
 
-        score_fn = make_score_fn(
-            self.model, self.params, self.cfg.model, self.item_dept,
-            self.item_cat, self.eval_history)
-        rank = evaluate(score_fn, self.eval_set)
+        if self._device_eval is None:
+            sharding = None
+            if self.mesh is not None:
+                from ncf_tpu.parallel import replicated
+                sharding = replicated(self.mesh)
+            self._device_eval = DeviceEvaluator(
+                self.model, self.cfg.model, self.eval_set,
+                batch_size=self.cfg.data.eval_batch_size,
+                item_dept=self.item_dept, item_cat=self.item_cat,
+                user_history=self.eval_history, sharding=sharding)
+        rank = self._device_eval(self.params)
         out.update(rank)
         self.metrics_logger.write(kind="val", epoch=epoch,
                                   step=self.global_step, **out)
@@ -396,9 +426,14 @@ class Trainer:
     # ---------------------------------------------------------- checkpoints
 
     def _state(self):
-        return {"params": self.params, "opt_state": self.opt_state}
+        # the device PRNG key is part of the training trajectory
+        # (negatives + dropout); saving it is what makes mid-epoch resume
+        # bit-for-bit
+        return {"params": self.params, "opt_state": self.opt_state,
+                "rng": self.rng}
 
-    def save_checkpoint(self, epoch: int, metrics: Dict[str, float]) -> str:
+    def save_checkpoint(self, epoch: int, metrics: Dict[str, float],
+                        extra: Optional[Dict] = None) -> str:
         be = self.cfg.train.checkpoint_backend
         path = ckpt_lib.save(
             self.cfg.train.checkpoint_dir, self._state(),
@@ -406,21 +441,37 @@ class Trainer:
             metrics={k: v for k, v in metrics.items() if isinstance(v, (int, float))},
             config=self.cfg.to_dict(),
             backend="orbax" if be.startswith("orbax") else "native",
-            async_save=be == "orbax_async")
+            async_save=be == "orbax_async",
+            extra=extra)
         ckpt_lib.garbage_collect(
             self.cfg.train.checkpoint_dir, self.cfg.train.keep_checkpoints)
         return path
 
     def resume(self, ckpt_dir: Optional[str] = None) -> bool:
         """Restore the latest (or given) checkpoint; returns True if resumed
-        (the repaired trainer.py:450 path)."""
+        (the repaired trainer.py:450 path).  Mid-epoch checkpoints
+        (extra.in_epoch) re-enter their epoch at the recorded dispatch."""
         ckpt_dir = ckpt_dir or ckpt_lib.find_latest(self.cfg.train.checkpoint_dir)
         if ckpt_dir is None:
             return False
-        state, manifest = ckpt_lib.restore(ckpt_dir, self._state())
+        try:
+            state, manifest = ckpt_lib.restore(ckpt_dir, self._state())
+            self.rng = jnp.asarray(state["rng"])
+        except KeyError:
+            # pre-round-3 checkpoint without the rng leaf: restore the
+            # rest, keep this run's fresh key (epoch-boundary semantics)
+            state, manifest = ckpt_lib.restore(
+                ckpt_dir, {"params": self.params, "opt_state": self.opt_state})
+            log.warning("checkpoint has no rng key; resumed run will not "
+                        "be bit-identical to an uninterrupted one")
         self.params, self.opt_state = state["params"], state["opt_state"]
         self.global_step = manifest["step"]
-        self.start_epoch = manifest["epoch"] + 1
+        extra = manifest.get("extra") or {}
+        if extra.get("in_epoch"):
+            self.start_epoch = manifest["epoch"]
+            self._resume_dispatch = int(extra["dispatch"])
+        else:
+            self.start_epoch = manifest["epoch"] + 1
         saved_cfg = manifest.get("config", {})
         if saved_cfg and saved_cfg.get("model") != self.cfg.to_dict().get("model"):
             log.warning("checkpoint model config differs from current config")

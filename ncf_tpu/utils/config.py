@@ -70,6 +70,11 @@ class DataConfig:
     path: str = ""                      # movielens dir or parquet file
     validation_days: int = 10           # time-based split (data_prep.py:77-88)
     num_eval_negatives: int = 100       # leave-one-out eval candidates (fixes §2.9.9)
+    eval_user_sample: int = 0           # >0: seeded sample of this many eval
+    #                                     users for the ranking metrics (the
+    #                                     full population is hours/epoch at
+    #                                     the 100M-entity regime); 0 = all
+    eval_batch_size: int = 2048         # user block per eval scan step
     min_user_interactions: int = 2
     # synthetic generator scale (reference datagen defaults, scripts/1.*/02*)
     synthetic_users: int = 8031
@@ -136,6 +141,17 @@ class TrainConfig:
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"
     checkpoint_backend: str = "native"  # native | orbax | orbax_async
+    checkpoint_every_dispatches: int = 0  # >0: also save every N device
+    #                                       dispatches WITHIN an epoch
+    #                                       (with the device PRNG key +
+    #                                       dispatch index, so resume()
+    #                                       continues mid-epoch
+    #                                       bit-for-bit); 0 = epoch
+    #                                       boundaries only.  The 100M
+    #                                       regime's epochs are tens of
+    #                                       minutes — reference only had
+    #                                       per-epoch + emergency saves
+    #                                       (trainer.py:493-546).
     keep_checkpoints: int = 3
     log_every_steps: int = 100
     metrics_file: str = ""              # JSONL metrics sink ("" = disabled)
@@ -176,6 +192,12 @@ class ServingConfig:
     # TTL store only.  Every redis op falls back per-call on
     # connection errors (serving/cache.py).
     redis_url: str = ""
+    # request coalescing: concurrent single-user /recommendations calls
+    # micro-batch into shared device dispatches (the retrieval kernel is
+    # batched; a [64, d] query block costs barely more than [1, d]) —
+    # serving/server.py::_Coalescer
+    coalesce_requests: bool = True
+    coalesce_max_batch: int = 64
     # streaming-kernel recall/speed preset: 'exact' (recall 1.0),
     # 'fast' (recall ~0.9998, ~1.7x retrieval QPS), 'int8' (recall
     # ~0.993, exact rescored scores, ~1.45x), or 'int8-fast' (recall

@@ -1,0 +1,96 @@
+"""Quality-parity A/B: embedding optimizers at ML-1M scale on real TPU.
+
+Round-2 verdict item 2's done-criterion: rowwise Adagrad / bf16-moment
+Adam table optimizers (train.embedding_optimizer) must match full-Adam
+quality within noise at ML-1M scale before they unlock the big-vocab
+regime.  Same data, same seed, same schedule; only the table optimizer
+(and its LR, for the Adagrad family) differs.  Appends one JSON line per
+arm to results/embopt_parity.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ncf_tpu.data.synthetic import generate_interactions
+from ncf_tpu.train.trainer import Trainer
+from ncf_tpu.utils.config import Config, setup_logging
+
+ARMS = [
+    ("adam", 0.0),
+    ("bf16_adam", 0.0),
+    ("rowwise_adagrad", 0.01),
+    ("rowwise_adagrad", 0.03),
+]
+
+
+def run_arm(emb_opt: str, emb_lr: float, inter):
+    cfg = Config()
+    cfg.model.name = "advanced_ncf"
+    cfg.model.mf_dim = 64
+    cfg.model.mlp_dim = 64
+    cfg.model.temporal_dim = 32
+    cfg.model.mlp_hidden_dims = [256, 128, 64]
+    cfg.model.negative_samples = 4
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.data.validation_days = 10
+    cfg.data.num_eval_negatives = 100
+    cfg.train.batch_size = 16384
+    cfg.train.learning_rate = 1e-3
+    cfg.train.weight_decay = 1e-5
+    cfg.train.num_epochs = 40
+    cfg.train.early_stopping_patience = 8
+    cfg.train.early_stopping_metric = "hr@10"
+    cfg.train.lr_schedule = "cosine"
+    cfg.train.steps_per_dispatch = 8
+    cfg.train.embedding_optimizer = emb_opt
+    cfg.train.embedding_learning_rate = emb_lr
+    tag = emb_opt + (f"_lr{emb_lr}" if emb_lr else "")
+    cfg.train.checkpoint_dir = f"results/embopt_{tag}_ckpt"
+    cfg.train.log_every_steps = 50
+
+    t0 = time.time()
+    trainer = Trainer(cfg, inter)
+    best = trainer.train()
+    wall = time.time() - t0
+    row = {
+        "arm": tag,
+        "embedding_optimizer": emb_opt,
+        "embedding_learning_rate": emb_lr,
+        "hr@10": round(best["hr@10"], 4),
+        "ndcg@10": round(best["ndcg@10"], 4),
+        "mrr@10": round(best["mrr@10"], 4),
+        "val_loss": round(best["val_loss"], 5),
+        "epoch": best.get("epoch"),
+        "wall_s": round(wall, 1),
+    }
+    print("ARM", json.dumps(row), flush=True)
+    with open("results/embopt_parity.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+    return row
+
+
+def main():
+    setup_logging("INFO")
+    os.makedirs("results", exist_ok=True)
+    t0 = time.time()
+    inter = generate_interactions(
+        num_users=6040, num_items=3706, num_days=180,
+        avg_txns_per_user=165, seed=0)
+    print(f"data: {len(inter):,} interactions "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    for emb_opt, emb_lr in ARMS:
+        run_arm(emb_opt, emb_lr, inter)
+
+
+if __name__ == "__main__":
+    main()
