@@ -38,6 +38,10 @@ import numpy as np
 NUM_USERS = 6040
 NUM_ITEMS = 3706
 BATCH = 16384
+# chip peaks for the roofline/utilization estimates (TPU v5e / v5 lite:
+# 197 TFLOP/s bf16, 819 GB/s HBM — same constants as scripts/bench_kernels)
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9
 STEPS_PER_DISPATCH = 8   # lax.scan steps per device call (train config knob)
 WARMUP = 2               # dispatches
 # Marginal-cost timing (see BENCH_NOTES.md "Measurement discipline"):
@@ -108,6 +112,24 @@ def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
         "day_of_year": jnp.asarray(rng_np.integers(0, 365, lead), jnp.int32),
     }
     return train_step, params, opt_state, batch
+
+
+def step_cost_analysis(train_step, params, opt_state, rng, batch):
+    """XLA-reported (flops, bytes accessed) for ONE dispatch of the train
+    step, from HLO cost analysis of the lowered graph (no execution).
+
+    Caveat: Pallas kernels appear as custom calls with no cost, so the
+    scatter-add kernel's MACs are NOT counted — the returned utilizations
+    are lower bounds on real MXU/HBM activity."""
+    try:
+        lowered = jax.jit(train_step).lower(params, opt_state, rng, batch)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+    except Exception:
+        return None, None
 
 
 def bench_serving_qps():
@@ -264,9 +286,33 @@ def main():
         "candidates_scored_per_sec": round(examples_per_s * 5, 1),
         "loss": float(metrics["loss"]),
     }
+
+    # roofline / utilization (verdict r2 item 8): achieved FLOP/s and
+    # HBM GB/s vs chip peaks.  flops/bytes come from XLA HLO cost
+    # analysis of one dispatch (Pallas custom calls report no cost, so
+    # these are lower bounds); utilization = (cost / K steps) / dt_step
+    # / peak with PEAK_FLOPS=197e12 bf16, PEAK_HBM=819e9 (v5e).
+    flops_d, bytes_d = step_cost_analysis(
+        train_step, params, opt_state, rng, batch)
+    if flops_d:
+        f_step = flops_d / STEPS_PER_DISPATCH
+        b_step = bytes_d / STEPS_PER_DISPATCH
+        detail["train_step_gflops"] = round(f_step / 1e9, 2)
+        detail["train_step_hbm_gb"] = round(b_step / 1e9, 3)
+        detail["train_mxu_util"] = round(f_step / dt_step / PEAK_FLOPS, 4)
+        detail["train_hbm_util"] = round(b_step / dt_step / PEAK_HBM, 4)
     if qps is not None:
         detail["serving_topk_users_per_s_1M_items"] = round(qps, 1)
         detail["serving_topk_ms_per_1024_users"] = round(serve_ms, 3)
+        # retrieval roofline (analytic; the streaming kernel reads the
+        # prepared bf16 table + packed bias once per call): flops =
+        # 2*B*I*D MACs, bytes = I*D*2 + I*4 + B*D*2
+        B, I, D = 1024, 1_000_000, 64
+        dt = serve_ms / 1e3
+        detail["serving_mxu_util"] = round(
+            2 * B * I * D / dt / PEAK_FLOPS, 4)
+        detail["serving_hbm_util"] = round(
+            (I * D * 2 + I * 4 + B * D * 2) / dt / PEAK_HBM, 4)
     try:
         qps8, serve8_ms = bench_serving_qps_int8()
         detail["serving_topk_int8_users_per_s_1M_items"] = round(qps8, 1)

@@ -332,10 +332,18 @@ def make_handler(api: RecommendationAPI):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default backlog is 5: at 64 concurrent clients the kernel
+    # refuses/resets connections beyond it (measured: 230 errors at 64
+    # clients in the round-3 load test before this)
+    request_queue_size = 256
+    daemon_threads = True
+
+
 def serve(api: RecommendationAPI, host: str = "127.0.0.1",
           port: int = 8080, background: bool = False) -> ThreadingHTTPServer:
     """Start the HTTP server (uvicorn analogue, src/api/__init__.py:85)."""
-    httpd = ThreadingHTTPServer((host, port), make_handler(api))
+    httpd = _Server((host, port), make_handler(api))
     if background:
         thread = threading.Thread(target=httpd.serve_forever, daemon=True)
         thread.start()

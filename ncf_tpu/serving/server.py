@@ -49,23 +49,66 @@ class _Coalescer:
 
     BUCKETS = (1, 8, 64)
 
-    def __init__(self, server: "ModelServer", max_batch: int = 64):
+    def __init__(self, server: "ModelServer", max_batch: int = 64,
+                 dispatchers: int = 4):
         self.server = server
         self.max_batch = int(max_batch)
         self.q: "queue.Queue" = queue.Queue()
         self.batched_calls = 0
         self.batched_requests = 0
-        self._thread = threading.Thread(
-            target=self._loop, daemon=True, name="ncf-coalescer")
-        self._thread.start()
+        self.direct_calls = 0       # low-concurrency shortcut count
+        self._lock = threading.Lock()
+        self._inflight = 0          # requests currently being scored
+        # several dispatcher threads keep multiple coalesced batches in
+        # flight: the per-dispatch device round trip (host sync included)
+        # pipelines across them, so throughput is not bounded by
+        # (1 batch) / RTT — with one dispatcher, coalescing measured
+        # SLOWER than direct threading at 64 clients (181 vs 240 QPS)
+        # precisely because the lone dispatcher serialized round trips
+        self._threads = [
+            threading.Thread(target=self._loop, daemon=True,
+                             name=f"ncf-coalescer-{i}")
+            for i in range(max(1, int(dispatchers)))]
+        for t in self._threads:
+            t.start()
 
     def close(self) -> None:
-        self.q.put(_STOP)
-        self._thread.join(timeout=5)
+        for _ in self._threads:
+            self.q.put(_STOP)
+        for t in self._threads:
+            t.join(timeout=5)
 
     def submit(self, user_id: int, k: int, temporal: Optional[Dict],
                hour: Optional[int] = None,
                timeout_s: float = 30.0) -> Tuple[np.ndarray, np.ndarray]:
+        # low-concurrency shortcut: with nothing queued and (almost)
+        # nothing in flight, the queue hop only adds latency (measured
+        # -8%/-23% QPS at 1/8 clients vs +73% at 64) — score directly
+        with self._lock:
+            idle = self._inflight < 2 and self.q.empty()
+            self._inflight += 1
+        if idle:
+            try:
+                uids = np.asarray([user_id], np.int32)
+                scorer = self.server.scorer
+                if hour is not None:
+                    scores, idxs = scorer.topk_for_users_hourly(
+                        uids, hour=int(hour), k=k)
+                else:
+                    scores, idxs = scorer.topk_for_users(
+                        uids, k=k, temporal=temporal)
+                return scores[0], idxs[0]
+            finally:
+                with self._lock:
+                    self._inflight -= 1
+                    self.direct_calls += 1
+        try:
+            return self._submit_queued(user_id, k, temporal, hour, timeout_s)
+        finally:
+            with self._lock:
+                self._inflight -= 1
+
+    def _submit_queued(self, user_id, k, temporal, hour, timeout_s):
         if hour is not None:
             key = (int(k), "hourly", int(hour))
         else:
@@ -125,8 +168,9 @@ class _Coalescer:
                 except Exception as e:  # noqa: BLE001 — fan the error out
                     for it in items:
                         it["err"] = e
-                self.batched_calls += 1
-                self.batched_requests += len(items)
+                with self._lock:
+                    self.batched_calls += 1
+                    self.batched_requests += len(items)
                 for it in items:
                     it["ev"].set()
 
@@ -167,7 +211,8 @@ class ModelServer:
         self._coalescer: Optional[_Coalescer] = None
         if getattr(cfg.serving, "coalesce_requests", True):
             self._coalescer = _Coalescer(
-                self, max_batch=getattr(cfg.serving, "coalesce_max_batch", 64))
+                self, max_batch=getattr(cfg.serving, "coalesce_max_batch", 64),
+                dispatchers=getattr(cfg.serving, "coalesce_dispatchers", 4))
 
     def close(self) -> None:
         if self._coalescer is not None:

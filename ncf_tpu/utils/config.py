@@ -198,6 +198,11 @@ class ServingConfig:
     # serving/server.py::_Coalescer
     coalesce_requests: bool = True
     coalesce_max_batch: int = 64
+    coalesce_dispatchers: int = 4   # parallel dispatcher threads keep
+    #                                 several coalesced batches in flight
+    #                                 (pipelines the per-dispatch round
+    #                                 trip; one dispatcher measured slower
+    #                                 than direct threading)
     # streaming-kernel recall/speed preset: 'exact' (recall 1.0),
     # 'fast' (recall ~0.9998, ~1.7x retrieval QPS), 'int8' (recall
     # ~0.993, exact rescored scores, ~1.45x), or 'int8-fast' (recall

@@ -1,0 +1,137 @@
+"""End-to-end HTTP serving load test (round-2 verdict item 4).
+
+Measures the REAL serving path — HTTP socket -> json -> pydantic ->
+ModelServer -> retrieval kernel -> response — under concurrent clients,
+with request coalescing on and off: QPS, p50/p99 latency, error rate at
+1/8/64 clients.  The reference only *declares* capacity
+(config/config.yaml:161-187, Cloud Run 1-10 instances); this measures
+ours.  Appends JSON rows to results/serving_load.jsonl.
+
+Usage: python scripts/bench_serving.py [num_items] [requests_per_client]
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ncf_tpu.api.app import RecommendationAPI, serve
+from ncf_tpu.models import get_model
+from ncf_tpu.serving.server import ModelServer
+from ncf_tpu.utils.config import Config, setup_logging
+
+PORT = 18423
+
+
+def build_server(num_items: int, coalesce: bool) -> ModelServer:
+    cfg = Config()
+    cfg.model.num_users = 162_541
+    cfg.model.num_items = num_items
+    cfg.serving.coalesce_requests = coalesce
+    model = get_model("advanced_ncf")
+    params = model.init(jax.random.PRNGKey(0), cfg.model)
+    return ModelServer(cfg, params)
+
+
+def run_load(port: int, clients: int, reqs_per_client: int, num_users: int):
+    lat = []
+    errs = [0]
+    lock = threading.Lock()
+    barrier = threading.Barrier(clients + 1)
+
+    def client(seed):
+        rng = np.random.default_rng(seed)
+        url = f"http://127.0.0.1:{port}/api/v1/recommendations"
+        my_lat = []
+        barrier.wait()
+        for _ in range(reqs_per_client):
+            body = json.dumps({
+                "customer_id": str(int(rng.integers(0, num_users))),
+                "num_recommendations": 10}).encode()
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    r.read()
+                    ok = r.status == 200
+            except Exception:
+                ok = False
+            my_lat.append((time.perf_counter() - t0) * 1000)
+            if not ok:
+                with lock:
+                    errs[0] += 1
+        with lock:
+            lat.extend(my_lat)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat.sort()
+    n = len(lat)
+    return {
+        "clients": clients,
+        "requests": n,
+        "qps": round(n / wall, 1),
+        "p50_ms": round(lat[n // 2], 2),
+        "p99_ms": round(lat[min(n - 1, int(n * 0.99))], 2),
+        "mean_ms": round(sum(lat) / n, 2),
+        "errors": errs[0],
+    }
+
+
+def main():
+    setup_logging("WARNING")
+    num_items = int(sys.argv[1]) if len(sys.argv) > 1 else 62_423
+    reqs = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    os.makedirs("results", exist_ok=True)
+    rows = []
+    for coalesce in (False, True):
+        server = build_server(num_items, coalesce)
+        api = RecommendationAPI(server)
+        port = PORT + int(coalesce)
+        httpd = serve(api, "127.0.0.1", port, background=True)
+        try:
+            # warm: compile all retrieval buckets before measuring
+            run_load(port, 1, 3, server.cfg.model.num_users)
+            if coalesce:
+                run_load(port, 64, 2, server.cfg.model.num_users)
+            for clients in (1, 8, 64):
+                row = run_load(port, clients, reqs,
+                               server.cfg.model.num_users)
+                row.update(coalesce=coalesce, num_items=num_items)
+                if coalesce:
+                    c = server._coalescer
+                    row["avg_coalesced_batch"] = round(
+                        c.batched_requests / max(1, c.batched_calls), 2)
+                    row["direct_calls"] = c.direct_calls
+                print(json.dumps(row), flush=True)
+                rows.append(row)
+        finally:
+            httpd.shutdown()
+            server.close()
+    with open("results/serving_load.jsonl", "a") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
