@@ -421,6 +421,18 @@ class Trainer:
             from ncf_tpu.ops import embedding as embedding_ops
 
             embedding_ops.clear_exchange()
+        if cfg.train.artifact_store and jax.process_index() == 0:
+            # post-training artifact push (reference train.py:71-107)
+            from ncf_tpu.utils.artifacts import push_training_artifacts
+
+            job = cfg.train.job_name or f"run-{cfg.train.seed}"
+            try:
+                push_training_artifacts(
+                    cfg.train.artifact_store, job,
+                    checkpoint_dir=cfg.train.checkpoint_dir,
+                    metrics_file=cfg.train.metrics_file or None)
+            except Exception:
+                log.exception("artifact push failed (training result kept)")
         return self.best_metrics or {"val_loss": self.best_val}
 
     # ---------------------------------------------------------- checkpoints

@@ -155,6 +155,12 @@ class TrainConfig:
     keep_checkpoints: int = 3
     log_every_steps: int = 100
     metrics_file: str = ""              # JSONL metrics sink ("" = disabled)
+    artifact_store: str = ""            # push best ckpt + metrics after
+    #                                     training (reference GCS upload,
+    #                                     train.py:71-107): file:// or
+    #                                     bare dir; "" = off.  See
+    #                                     utils/artifacts.py.
+    job_name: str = ""                  # artifact prefix; "" = run-<seed>
 
 
 @dataclass
