@@ -684,7 +684,7 @@ def _bias_digits(b_int: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block_items", "seg_width", "user_tile"))
+    "block_items", "seg_width", "user_tile", "clip_quantile"))
 def prepare_items_int8(
     items: jax.Array,              # [I, D] float
     bias: Optional[jax.Array],     # [I] or None
@@ -692,11 +692,21 @@ def prepare_items_int8(
     block_items: Optional[int] = None,
     seg_width: int = 64,
     user_tile: int = 256,
+    clip_quantile: Optional[float] = None,
 ) -> PreparedItemsInt8:
     """Quantize the catalog for the int8 streaming tier (see
     :class:`PreparedItemsInt8`).  ``queries`` fixes the query/bias scale:
     pass the full static user-query table (or a [1, D] per-dimension
-    max-abs row for a cheap exact bound)."""
+    max-abs row for a cheap exact bound).
+
+    ``clip_quantile``: scales from the |value| QUANTILE instead of the
+    max.  Max-based scales are outlier-driven — one 5-sigma entry per
+    column leaves typical entries ~25 of 127 levels, and the round-3
+    recall diagnosis (results/int8_recall_diag.jsonl) attributed 60/67
+    lost top-10 items to exactly that score noise (displaced beyond even
+    a 64-deep over-fetch; only 7 were segment-stage losses).  Clipping
+    at e.g. 0.999 trades bounded error on the rare outlier entries for
+    ~2-4x finer resolution everywhere else."""
     I, D = items.shape
     if seg_width & (seg_width - 1):
         # the packed-key recovery shifts by log2(seg_width) and masks
@@ -717,11 +727,19 @@ def prepare_items_int8(
     ipad = nblocks * block_items
 
     v32 = items.astype(jnp.float32)
-    col_scale = jnp.maximum(jnp.max(jnp.abs(v32), axis=0) / 127.0, 1e-30)
+    if clip_quantile is not None:
+        col_bound = jnp.quantile(jnp.abs(v32), clip_quantile, axis=0)
+    else:
+        col_bound = jnp.max(jnp.abs(v32), axis=0)
+    col_scale = jnp.maximum(col_bound / 127.0, 1e-30)
+    # out-of-bound entries clip at +-127 via the table clip below
     v8 = jnp.round(v32 / col_scale[None, :])                 # exact ints
 
-    q_folded_max = jnp.max(
-        jnp.abs(queries.astype(jnp.float32)) * col_scale[None, :])
+    q_folded = jnp.abs(queries.astype(jnp.float32)) * col_scale[None, :]
+    if clip_quantile is not None:
+        q_folded_max = jnp.quantile(q_folded, clip_quantile)
+    else:
+        q_folded_max = jnp.max(q_folded)
     q_scale = jnp.maximum(q_folded_max / 127.0, 1e-30)
 
     b32 = (bias.astype(jnp.float32) if bias is not None

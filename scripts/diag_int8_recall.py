@@ -56,14 +56,19 @@ def recall(i_ex, i_got):
 
 def main():
     os.makedirs("results", exist_ok=True)
+    t0 = time.time()
     rng = np.random.default_rng(0)
     q0 = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
     items = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
     bias = jnp.asarray(rng.normal(size=(I,)) * 0.1, jnp.float32)
+    print(f"data built {time.time()-t0:.0f}s", flush=True)
     v_ex, i_ex = topk_scores_xla(q0, items, K, bias)
     i_ex = np.asarray(i_ex)
+    print(f"exact reference {time.time()-t0:.0f}s", flush=True)
 
     prep = prepare_items_int8(items, bias, q0, seg_width=SEG)
+    jax.block_until_ready(prep.table)
+    print(f"prepared {time.time()-t0:.0f}s", flush=True)
     rows = []
 
     def run(fetch_extra, seg_top):
