@@ -700,13 +700,23 @@ def prepare_items_int8(
     max-abs row for a cheap exact bound).
 
     ``clip_quantile``: scales from the |value| QUANTILE instead of the
-    max.  Max-based scales are outlier-driven — one 5-sigma entry per
-    column leaves typical entries ~25 of 127 levels, and the round-3
-    recall diagnosis (results/int8_recall_diag.jsonl) attributed 60/67
-    lost top-10 items to exactly that score noise (displaced beyond even
-    a 64-deep over-fetch; only 7 were segment-stage losses).  Clipping
-    at e.g. 0.999 trades bounded error on the rare outlier entries for
-    ~2-4x finer resolution everywhere else."""
+    max — MEASURED WORSE at every setting; keep the default (None).
+    Round-3 A/B at 1M items (results/int8_recall_diag.jsonl,
+    2026-08-21): recall@10 at over-fetch +6 is 0.99346 max-based vs
+    0.99170 (clip 0.9999), 0.98105 (0.999), 0.91426 (0.99).  The
+    outlier entries a clip would sacrifice carry exactly the top-score
+    signal (high-scoring items are the ones whose large entries align
+    with the query), so coarser outliers hurt more than finer typical
+    entries help.  The parameter stays for reproducing the experiment.
+
+    Recall bound (same diagnosis): the 'int8' preset's 0.99336 recall
+    plateau at over-fetch >= 6 is intrinsic to 8-bit x 64-dim dot
+    products at this catalog density — 60/67 lost true-top-10 items
+    score below >64 int8 segment winners (score noise ~0.2 rms vs
+    top-of-1M rank spacing of the same order), 7/67 are seg_top=1
+    segment-stage losses (seg_top=2 buys +0.0006 recall for +30% time —
+    rejected).  For recall >= 0.999, serve the bf16 'fast' (0.9998) or
+    'exact' (1.0) presets."""
     I, D = items.shape
     if seg_width & (seg_width - 1):
         # the packed-key recovery shifts by log2(seg_width) and masks
