@@ -222,6 +222,14 @@ class RecommendationAPI:
         out["model_version"] = self.server.model_version
         out["num_items"] = self.server.cfg.model.num_items
         out["num_users"] = self.server.cfg.model.num_users
+        coal = getattr(self.server, "_coalescer", None)
+        if coal is not None:
+            out["coalesced_batches"] = coal.batched_calls
+            out["coalesced_requests"] = coal.batched_requests
+            out["direct_requests"] = coal.direct_calls
+            if coal.batched_calls:
+                out["avg_coalesced_batch"] = round(
+                    coal.batched_requests / coal.batched_calls, 2)
         return out
 
     def index_refresh(self, body: Dict) -> Dict:
