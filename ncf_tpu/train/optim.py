@@ -189,9 +189,13 @@ def make_optimizer(
     if emb_opt == "adam" and not emb_lr:
         chain.append(optax.scale_by_adam())
     else:
-        emb_tx = {"adam": optax.scale_by_adam,
-                  "rowwise_adagrad": scale_by_rowwise_adagrad,
-                  "bf16_adam": scale_by_adam_compact}[emb_opt]()
+        if emb_opt == "rowwise_adagrad":
+            emb_tx = scale_by_rowwise_adagrad(
+                initial_accumulator=getattr(
+                    cfg, "embedding_adagrad_init", 0.0))
+        else:
+            emb_tx = {"adam": optax.scale_by_adam,
+                      "bf16_adam": scale_by_adam_compact}[emb_opt]()
         if emb_lr:
             # relative factor on top of the shared schedule below, so the
             # schedule's shape (warmup/cosine) still applies to tables

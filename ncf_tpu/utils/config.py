@@ -104,6 +104,13 @@ class TrainConfig:
     #                                     bf16_adam (Adam with bf16 moments
     #                                     — 2x).  Dense params always get
     #                                     full Adam.  See train/optim.py.
+    embedding_adagrad_init: float = 0.0  # rowwise-Adagrad initial
+    #                                      accumulator: >0 damps the
+    #                                      first updates (with 0 the
+    #                                      first step moves every row by
+    #                                      exactly the embedding LR —
+    #                                      measured to spike HR early
+    #                                      then dip, results/embopt_parity)
     embedding_learning_rate: float = 0.0  # table LR when it should differ
     #                                       from learning_rate (torchrec
     #                                       exposes per-table LRs the same

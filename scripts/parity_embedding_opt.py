@@ -26,14 +26,27 @@ from ncf_tpu.train.trainer import Trainer
 from ncf_tpu.utils.config import Config, setup_logging
 
 ARMS = [
-    ("adam", 0.0),
-    ("bf16_adam", 0.0),
-    ("rowwise_adagrad", 0.01),
-    ("rowwise_adagrad", 0.03),
+    ("adam", 0.0, 0.0),
+    ("bf16_adam", 0.0, 0.0),
+    ("rowwise_adagrad", 0.01, 0.0),
+    ("rowwise_adagrad", 0.03, 0.0),
+]
+
+# round-3 second pass (results/embopt_parity.jsonl first four rows): the
+# rowwise arms' hr@10 spikes at epoch 0 (empty accumulator => first step
+# moves every row by exactly the embedding LR), dips, and was still
+# recovering when patience-8 fired at epochs 0/2.  This grid damps the
+# first updates (embedding_adagrad_init) and/or lowers the table LR,
+# with patience 14 so the recovery can play out.
+ARMS2 = [
+    ("rowwise_adagrad", 0.003, 0.0),
+    ("rowwise_adagrad", 0.01, 0.1),
+    ("rowwise_adagrad", 0.03, 1.0),
 ]
 
 
-def run_arm(emb_opt: str, emb_lr: float, inter):
+def run_arm(emb_opt: str, emb_lr: float, inter, init_acc: float = 0.0,
+            patience: int = 8):
     cfg = Config()
     cfg.model.name = "advanced_ncf"
     cfg.model.mf_dim = 64
@@ -48,13 +61,15 @@ def run_arm(emb_opt: str, emb_lr: float, inter):
     cfg.train.learning_rate = 1e-3
     cfg.train.weight_decay = 1e-5
     cfg.train.num_epochs = 40
-    cfg.train.early_stopping_patience = 8
+    cfg.train.early_stopping_patience = patience
     cfg.train.early_stopping_metric = "hr@10"
     cfg.train.lr_schedule = "cosine"
     cfg.train.steps_per_dispatch = 8
     cfg.train.embedding_optimizer = emb_opt
     cfg.train.embedding_learning_rate = emb_lr
-    tag = emb_opt + (f"_lr{emb_lr}" if emb_lr else "")
+    cfg.train.embedding_adagrad_init = init_acc
+    tag = emb_opt + (f"_lr{emb_lr}" if emb_lr else "") + (
+        f"_init{init_acc}" if init_acc else "")
     cfg.train.checkpoint_dir = f"results/embopt_{tag}_ckpt"
     cfg.train.log_every_steps = 50
 
@@ -66,6 +81,8 @@ def run_arm(emb_opt: str, emb_lr: float, inter):
         "arm": tag,
         "embedding_optimizer": emb_opt,
         "embedding_learning_rate": emb_lr,
+        "embedding_adagrad_init": init_acc,
+        "patience": patience,
         "hr@10": round(best["hr@10"], 4),
         "ndcg@10": round(best["ndcg@10"], 4),
         "mrr@10": round(best["mrr@10"], 4),
@@ -88,8 +105,10 @@ def main():
         avg_txns_per_user=165, seed=0)
     print(f"data: {len(inter):,} interactions "
           f"({time.time() - t0:.0f}s)", flush=True)
-    for emb_opt, emb_lr in ARMS:
-        run_arm(emb_opt, emb_lr, inter)
+    arms = ARMS2 if "--grid2" in sys.argv else ARMS
+    patience = 14 if "--grid2" in sys.argv else 8
+    for emb_opt, emb_lr, init_acc in arms:
+        run_arm(emb_opt, emb_lr, inter, init_acc, patience)
 
 
 if __name__ == "__main__":
