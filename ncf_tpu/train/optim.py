@@ -33,7 +33,8 @@ import optax
 from ncf_tpu.parallel.mesh import EMBEDDING_TABLE_KEYS
 from ncf_tpu.utils.config import TrainConfig
 
-EMBEDDING_OPTIMIZERS = ("adam", "rowwise_adagrad", "bf16_adam")
+EMBEDDING_OPTIMIZERS = ("adam", "rowwise_adagrad", "bf16_adam",
+                        "partial_rowwise_adam")
 
 
 def _path_name(path) -> str:
@@ -97,6 +98,57 @@ def scale_by_rowwise_adagrad(
 
         return (jax.tree.map(scale, updates, sum_sq),
                 ScaleByRowwiseAdagradState(sum_sq=sum_sq))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class ScaleByPartialRowwiseAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any       # per-element f32 first moment
+    nu_row: Any   # per-ROW f32 second moment
+
+
+def scale_by_partial_rowwise_adam(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """fbgemm PARTIAL_ROWWISE_ADAM semantics: full per-element first
+    moment (momentum matters for quality) but a per-ROW second moment
+    (the adaptive scale varies little across a row's dimensions).  State
+    = 4 + 4/d bytes/param — half of full Adam — while keeping Adam's
+    momentum + bias correction."""
+
+    def init_fn(params):
+        return ScaleByPartialRowwiseAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                            params),
+            nu_row=jax.tree.map(
+                lambda p: jnp.zeros(p.shape[:1], jnp.float32), params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1 - b1) * g.astype(jnp.float32),
+            state.mu, updates)
+
+        def new_nu(v, g):
+            g32 = g.astype(jnp.float32)
+            axes = tuple(range(1, g32.ndim))
+            return b2 * v + (1 - b2) * jnp.mean(jnp.square(g32), axis=axes)
+
+        nu_row = jax.tree.map(new_nu, state.nu_row, updates)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def scale(m, v, g):
+            denom = jnp.sqrt(v / c2) + eps
+            denom = denom.reshape(denom.shape + (1,) * (m.ndim - 1))
+            return ((m / c1) / denom).astype(g.dtype)
+
+        out = jax.tree.map(scale, mu, nu_row, updates)
+        return out, ScaleByPartialRowwiseAdamState(
+            count=count, mu=mu, nu_row=nu_row)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -195,7 +247,9 @@ def make_optimizer(
                     cfg, "embedding_adagrad_init", 0.0))
         else:
             emb_tx = {"adam": optax.scale_by_adam,
-                      "bf16_adam": scale_by_adam_compact}[emb_opt]()
+                      "bf16_adam": scale_by_adam_compact,
+                      "partial_rowwise_adam":
+                          scale_by_partial_rowwise_adam}[emb_opt]()
         if emb_lr:
             # relative factor on top of the shared schedule below, so the
             # schedule's shape (warmup/cosine) still applies to tables

@@ -98,12 +98,18 @@ class TrainConfig:
     weight_decay: float = 1e-5
     embedding_optimizer: str = "adam"   # adam (2 f32 moments per element —
     #                                     3x table HBM) | rowwise_adagrad
-    #                                     (torchrec/fbgemm ROWWISE_ADAGRAD
-    #                                     class: one f32 scalar per ROW —
-    #                                     ~1.03x; the big-vocab default) |
-    #                                     bf16_adam (Adam with bf16 moments
-    #                                     — 2x).  Dense params always get
-    #                                     full Adam.  See train/optim.py.
+    #                                     (fbgemm ROWWISE_ADAGRAD: one f32
+    #                                     scalar per ROW — ~1.03x, max
+    #                                     vocab) | partial_rowwise_adam
+    #                                     (fbgemm PARTIAL_ROWWISE_ADAM:
+    #                                     per-element momentum + rowwise
+    #                                     2nd moment — 2x, Adam-class
+    #                                     quality) | bf16_adam (both Adam
+    #                                     moments bf16 — 2x; measured
+    #                                     -0.04 HR@10 at ML-1M scale, see
+    #                                     results/embopt_parity.jsonl).
+    #                                     Dense params always get full
+    #                                     Adam.  See train/optim.py.
     embedding_adagrad_init: float = 0.0  # rowwise-Adagrad initial
     #                                      accumulator: >0 damps the
     #                                      first updates (with 0 the
@@ -316,10 +322,13 @@ class Config:
             raise ValueError("batch_size and learning_rate must be positive")
         if m.negative_samples < 1:
             raise ValueError("negative_samples must be >= 1")
-        if t.embedding_optimizer not in ("adam", "rowwise_adagrad", "bf16_adam"):
+        if t.embedding_optimizer not in (
+                "adam", "rowwise_adagrad", "bf16_adam",
+                "partial_rowwise_adam"):
             raise ValueError(
                 f"train.embedding_optimizer must be adam | rowwise_adagrad "
-                f"| bf16_adam, got {t.embedding_optimizer!r}")
+                f"| bf16_adam | partial_rowwise_adam, "
+                f"got {t.embedding_optimizer!r}")
         if self.mesh.embedding_exchange not in ("pjit", "explicit"):
             raise ValueError(
                 f"mesh.embedding_exchange must be 'pjit' or 'explicit', "

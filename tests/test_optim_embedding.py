@@ -137,6 +137,45 @@ def test_embedding_lr_scale_applies_only_to_tables():
                                np.asarray(u1["mf_out"]["w"]), rtol=1e-6)
 
 
+def test_partial_rowwise_adam_matches_adam_when_nu_is_rowwise_constant():
+    """With gradients CONSTANT across a row's dims, the rowwise second
+    moment equals the elementwise one, so updates must match full Adam
+    exactly; state carries one nu scalar per row."""
+    import optax as _optax
+
+    from ncf_tpu.train.optim import scale_by_partial_rowwise_adam
+
+    full = _optax.scale_by_adam()
+    part = scale_by_partial_rowwise_adam()
+    p = {"t": jnp.zeros((6, 4))}
+    sf, sp = full.init(p), part.init(p)
+    assert sp.nu_row["t"].shape == (6,)
+    key = jax.random.PRNGKey(3)
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        row = jax.random.normal(k, (6, 1))
+        g = {"t": jnp.broadcast_to(row, (6, 4))}
+        uf, sf = full.update(g, sf, p)
+        up, sp = part.update(g, sp, p)
+        np.testing.assert_allclose(np.asarray(up["t"]), np.asarray(uf["t"]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_partial_rowwise_adam_state_memory():
+    cfg = _small_cfg(embedding_optimizer="partial_rowwise_adam")
+    params = advanced_ncf.init(jax.random.PRNGKey(0), cfg.model)
+    state = make_optimizer(cfg.train, 10).init(params)
+    table_elems = sum(int(np.prod(v.shape)) for k, v in params.items()
+                     if k in ("user_emb", "item_emb"))
+    table_rows = sum(v.shape[0] for k, v in params.items()
+                    if k in ("user_emb", "item_emb"))
+    flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    got = sum(leaf.size * leaf.dtype.itemsize for path, leaf in flat
+              if any(t in jax.tree_util.keystr(path)
+                     for t in ("user_emb", "item_emb")))
+    assert got == 4 * table_elems + 4 * table_rows
+
+
 def test_rowwise_updates_preserve_grad_dtype():
     """bf16 table grads (the fast scatter path) stay bf16 through the
     update — the transient that bounds big-vocab HBM."""
