@@ -250,6 +250,11 @@ def make_optimizer(
                       "bf16_adam": scale_by_adam_compact,
                       "partial_rowwise_adam":
                           scale_by_partial_rowwise_adam}[emb_opt]()
+        ewd = getattr(cfg, "embedding_weight_decay", 0.0) or 0.0
+        if ewd > 0:
+            # explicit table L2 (matches the full-Adam baseline's
+            # regularization; fbgemm's default is none)
+            emb_tx = optax.chain(optax.add_decayed_weights(ewd), emb_tx)
         if emb_lr:
             # relative factor on top of the shared schedule below, so the
             # schedule's shape (warmup/cosine) still applies to tables

@@ -110,6 +110,14 @@ class TrainConfig:
     #                                     results/embopt_parity.jsonl).
     #                                     Dense params always get full
     #                                     Adam.  See train/optim.py.
+    embedding_weight_decay: float = 0.0  # L2 on the TABLES under the
+    #                                      memory-efficient optimizers
+    #                                      (they default to fbgemm's
+    #                                      no-table-decay; the full-Adam
+    #                                      baseline decays tables via
+    #                                      weight_decay, so set this to
+    #                                      weight_decay for an exact
+    #                                      regularization match)
     embedding_adagrad_init: float = 0.0  # rowwise-Adagrad initial
     #                                      accumulator: >0 damps the
     #                                      first updates (with 0 the

@@ -44,9 +44,30 @@ ARMS2 = [
     ("rowwise_adagrad", 0.03, 1.0),
 ]
 
+# third pass: grid2 ruled out low LR (spike-then-decay, never recovers)
+# and init damping (kills learning).  The CPU mid-scale control
+# (f32 grads) has rowwise within 0.03 HR of adam, so A/B the bf16
+# scatter-grad path against exact XLA f32 grads, and run the
+# Adam-momentum partial_rowwise variant — all at patience 20.
+ARMS3 = [
+    ("partial_rowwise_adam", 0.0, 0.0, "fast"),
+    ("rowwise_adagrad", 0.01, 0.0, "xla"),
+    ("rowwise_adagrad", 0.01, 0.0, "fast"),
+]
+
+# fourth pass: the memory-efficient arms ran with NO table L2 (fbgemm
+# default) while the adam baseline decays tables — match the
+# regularization (embedding_weight_decay=weight_decay) and give the
+# momentum variant a higher table LR option.
+ARMS4 = [
+    ("partial_rowwise_adam", 0.0, 0.0, "fast", 1e-5),
+    ("partial_rowwise_adam", 0.003, 0.0, "fast", 1e-5),
+    ("rowwise_adagrad", 0.01, 0.0, "fast", 1e-5),
+]
+
 
 def run_arm(emb_opt: str, emb_lr: float, inter, init_acc: float = 0.0,
-            patience: int = 8):
+            patience: int = 8, scatter: str = "fast", ewd: float = 0.0):
     cfg = Config()
     cfg.model.name = "advanced_ncf"
     cfg.model.mf_dim = 64
@@ -68,8 +89,12 @@ def run_arm(emb_opt: str, emb_lr: float, inter, init_acc: float = 0.0,
     cfg.train.embedding_optimizer = emb_opt
     cfg.train.embedding_learning_rate = emb_lr
     cfg.train.embedding_adagrad_init = init_acc
+    cfg.train.embedding_scatter = scatter
+    cfg.train.embedding_weight_decay = ewd
     tag = emb_opt + (f"_lr{emb_lr}" if emb_lr else "") + (
-        f"_init{init_acc}" if init_acc else "")
+        f"_init{init_acc}" if init_acc else "") + (
+        f"_{scatter}" if scatter != "fast" else "") + (
+        f"_ewd{ewd}" if ewd else "")
     cfg.train.checkpoint_dir = f"results/embopt_{tag}_ckpt"
     cfg.train.log_every_steps = 50
 
@@ -83,6 +108,7 @@ def run_arm(emb_opt: str, emb_lr: float, inter, init_acc: float = 0.0,
         "embedding_learning_rate": emb_lr,
         "embedding_adagrad_init": init_acc,
         "patience": patience,
+        "embedding_scatter": scatter,
         "hr@10": round(best["hr@10"], 4),
         "ndcg@10": round(best["ndcg@10"], 4),
         "mrr@10": round(best["mrr@10"], 4),
@@ -105,6 +131,14 @@ def main():
         avg_txns_per_user=165, seed=0)
     print(f"data: {len(inter):,} interactions "
           f"({time.time() - t0:.0f}s)", flush=True)
+    if "--grid4" in sys.argv:
+        for emb_opt, emb_lr, init_acc, scatter, ewd in ARMS4:
+            run_arm(emb_opt, emb_lr, inter, init_acc, 20, scatter, ewd)
+        return
+    if "--grid3" in sys.argv:
+        for emb_opt, emb_lr, init_acc, scatter in ARMS3:
+            run_arm(emb_opt, emb_lr, inter, init_acc, 20, scatter)
+        return
     arms = ARMS2 if "--grid2" in sys.argv else ARMS
     patience = 14 if "--grid2" in sys.argv else 8
     for emb_opt, emb_lr, init_acc in arms:
