@@ -243,6 +243,7 @@ def make_optimizer(
     else:
         if emb_opt == "rowwise_adagrad":
             emb_tx = scale_by_rowwise_adagrad(
+                eps=getattr(cfg, "embedding_adagrad_eps", 1e-8),
                 initial_accumulator=getattr(
                     cfg, "embedding_adagrad_init", 0.0))
         else:

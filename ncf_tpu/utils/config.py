@@ -118,6 +118,13 @@ class TrainConfig:
     #                                      weight_decay, so set this to
     #                                      weight_decay for an exact
     #                                      regularization match)
+    embedding_adagrad_eps: float = 1e-8  # rowwise-Adagrad denominator
+    #                                      eps.  LARGE values (1e-2)
+    #                                      change early dynamics: update
+    #                                      ~ g/eps (SGD-like) until the
+    #                                      accumulator grows past eps^2,
+    #                                      avoiding the full-LR first
+    #                                      step of the normalized form
     embedding_adagrad_init: float = 0.0  # rowwise-Adagrad initial
     #                                      accumulator: >0 damps the
     #                                      first updates (with 0 the

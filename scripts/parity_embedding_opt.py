@@ -63,6 +63,10 @@ ARMS4 = [
     ("partial_rowwise_adam", 0.0, 0.0, "fast", 1e-5),
     ("partial_rowwise_adam", 0.003, 0.0, "fast", 1e-5),
     ("rowwise_adagrad", 0.01, 0.0, "fast", 1e-5),
+    # large-eps form: update ~ g/eps (SGD-like) until the accumulator
+    # grows past eps^2 — avoids the normalized full-LR first step whose
+    # spike-then-decay poisoned every rowwise arm so far
+    ("rowwise_adagrad:eps0.01", 0.1, 0.0, "fast", 1e-5),
 ]
 
 
@@ -86,6 +90,11 @@ def run_arm(emb_opt: str, emb_lr: float, inter, init_acc: float = 0.0,
     cfg.train.early_stopping_metric = "hr@10"
     cfg.train.lr_schedule = "cosine"
     cfg.train.steps_per_dispatch = 8
+    eps_tag = ""
+    if ":eps" in emb_opt:
+        emb_opt, eps_s = emb_opt.split(":eps")
+        cfg.train.embedding_adagrad_eps = float(eps_s)
+        eps_tag = f"_eps{eps_s}"
     cfg.train.embedding_optimizer = emb_opt
     cfg.train.embedding_learning_rate = emb_lr
     cfg.train.embedding_adagrad_init = init_acc
@@ -94,7 +103,7 @@ def run_arm(emb_opt: str, emb_lr: float, inter, init_acc: float = 0.0,
     tag = emb_opt + (f"_lr{emb_lr}" if emb_lr else "") + (
         f"_init{init_acc}" if init_acc else "") + (
         f"_{scatter}" if scatter != "fast" else "") + (
-        f"_ewd{ewd}" if ewd else "")
+        f"_ewd{ewd}" if ewd else "") + eps_tag
     cfg.train.checkpoint_dir = f"results/embopt_{tag}_ckpt"
     cfg.train.log_every_steps = 50
 
