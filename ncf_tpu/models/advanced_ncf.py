@@ -217,12 +217,21 @@ def apply(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     history: Optional[jax.Array] = None,    # int32 [B, H] padded with -1
+    user_rows: Optional[jax.Array] = None,  # [B, 2d] pre-gathered user rows
+    item_rows: Optional[jax.Array] = None,  # [B, S, 2d] pre-gathered items
 ) -> jax.Array:
     """Forward pass -> logits [B, S].
 
     ``history``: when ``cfg.use_sequence``, the user's recent item ids
     (padded with -1); attended by the user query through the
     sequence_attention block and concatenated into the MLP input.
+
+    ``user_rows``/``item_rows``: pre-gathered fused-table rows.  The
+    sparse-table-update training path (train/sparse.py — the fbgemm
+    fused-sparse-optimizer equivalent) gathers rows OUTSIDE the loss and
+    injects them here so gradients flow to the [B(,S), 2d] rows, never
+    materializing a dense [V, 2d] table gradient.  Only meaningful in
+    the big-vocab (precompute-OFF) regime.
 
     ``candidate_attention=True`` reproduces the reference training quirk:
     attention pools over the (1+neg) candidate slots of each interaction
@@ -246,6 +255,12 @@ def apply(
     # vocabulary is small, normalize the whole table once and gather
     # normalized rows; otherwise gather then normalize per occurrence.
     dmf = cfg.mf_dim
+    if user_rows is not None or item_rows is not None:
+        # row injection is the big-vocab training path; the precompute
+        # branch would silently ignore it
+        assert not vocab, (
+            "user_rows/item_rows require the precompute-OFF regime "
+            "(num_items + num_users > 4*B*S)")
     if vocab:
         # normalize both halves of the fused tables once over the
         # vocabulary, fold in the hierarchy, then ONE gather per entity
@@ -273,8 +288,10 @@ def apply(
         user_mf, user_mlp = user_full[:, :dmf], user_full[:, dmf:]
         item_mf, item_mlp = item_full[..., :dmf], item_full[..., dmf:]
     else:
-        user_full = embedding_lookup(params["user_emb"], user_ids)
-        item_full = embedding_lookup(params["item_emb"], item_ids)
+        user_full = (user_rows if user_rows is not None
+                     else embedding_lookup(params["user_emb"], user_ids))
+        item_full = (item_rows if item_rows is not None
+                     else embedding_lookup(params["item_emb"], item_ids))
         user_mf = layer_norm(params["mf_norm"], user_full[:, :dmf])
         user_mlp = layer_norm(params["mlp_norm"], user_full[:, dmf:])
         item_mf = layer_norm(params["mf_norm"], item_full[..., :dmf])

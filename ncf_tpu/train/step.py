@@ -196,6 +196,165 @@ def make_multi_train_step(
     return multi_train_step
 
 
+TABLE_KEYS = ("user_emb", "item_emb")
+
+
+def sparse_mode_available(cfg: Config, mesh=None) -> bool:
+    """Whether the sparse-table-update path applies (train/sparse.py —
+    the fbgemm fused-sparse-optimizer equivalent): rowwise-Adagrad
+    tables, AdvancedNCF in the big-vocab (precompute-OFF) regime,
+    single-device, no sequence path (its history lookups would need row
+    injection too)."""
+    m, t = cfg.model, cfg.train
+    entities = m.num_users + m.num_items
+    return (
+        t.embedding_optimizer == "rowwise_adagrad"
+        and m.name == "advanced_ncf"
+        and not m.use_sequence
+        and mesh is None
+        and entities > 4 * t.batch_size * (1 + m.negative_samples))
+
+
+def init_sparse_opt_state(dense_optimizer, params):
+    """Opt state for the sparse path: dense optax state + per-table
+    rowwise accumulators + the schedule step count."""
+    dense = {k: v for k, v in params.items() if k not in TABLE_KEYS}
+    return {
+        "dense": dense_optimizer.init(dense),
+        "user_acc": jnp.zeros(params["user_emb"].shape[0], jnp.float32),
+        "item_acc": jnp.zeros(params["item_emb"].shape[0], jnp.float32),
+        "count": jnp.zeros([], jnp.int32),
+    }
+
+
+def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule):
+    """Shared single-step body for the sparse-table-update path."""
+    from ncf_tpu.train.sparse import sparse_rowwise_adagrad_update
+
+    mcfg, tcfg = cfg.model, cfg.train
+    S = 1 + mcfg.negative_samples
+    loss_impl = make_loss(tcfg.loss)
+    joint = mcfg.candidate_mode == "joint"
+    stratified = tcfg.negative_sampling == "stratified"
+    clip = tcfg.gradient_clip_norm or 0.0
+    emb_scale = ((tcfg.embedding_learning_rate / tcfg.learning_rate)
+                 if tcfg.embedding_learning_rate else 1.0)
+    ewd = getattr(tcfg, "embedding_weight_decay", 0.0) or 0.0
+    eps = getattr(tcfg, "embedding_adagrad_eps", 1e-8)
+
+    def body(params, opt_state, rng, batch, consts):
+        tables = {k: params[k] for k in TABLE_KEYS}
+        dense = {k: v for k, v in params.items() if k not in TABLE_KEYS}
+        rng, step_rng = jax.random.split(rng)
+        # mirror _make_loss_fn's rng structure exactly so the sparse and
+        # dense paths draw identical negatives + dropout masks
+        rng_neg, rng_drop = jax.random.split(step_rng)
+        pos = batch["item_ids"]
+        sample = (sample_negatives_stratified if stratified
+                  else sample_negatives)
+        negs = sample(rng_neg, pos, mcfg.num_items, mcfg.negative_samples,
+                      cdf=consts.get("neg_cdf"))
+        items = jnp.concatenate([pos[:, None], negs], axis=1)     # [B, S]
+        temporal = {k: batch[k] for k in ("hour", "day", "month",
+                                          "day_of_year") if k in batch} or None
+
+        user_rows = jnp.take(tables["user_emb"], batch["user_ids"], axis=0)
+        item_rows = jnp.take(tables["item_emb"], items.reshape(-1),
+                             axis=0).reshape(items.shape + (-1,))
+
+        def loss_fn(dense_p, u_rows, i_rows):
+            logits = model.apply(
+                dense_p, mcfg, batch["user_ids"], items, temporal,
+                consts.get("item_dept"), consts.get("item_cat"),
+                candidate_attention=joint, deterministic=False,
+                rng=rng_drop, user_rows=u_rows, item_rows=i_rows)
+            targets = jnp.zeros((pos.shape[0], S),
+                                jnp.float32).at[:, 0].set(1.0)
+            return loss_impl(logits, targets), (logits, targets)
+
+        (loss, (logits, targets)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            dense, user_rows, item_rows)
+        g_dense, g_u, g_i = grads
+        if clip > 0:
+            # optax.clip_by_global_norm semantics over the FULL grad set
+            # (row grads == the table grads' only nonzero entries, so
+            # the norm matches the dense path's)
+            gnorm = optax.global_norm((g_dense, g_u, g_i))
+            trigger = jnp.minimum(clip / gnorm, 1.0)
+            scl = lambda t: jax.tree.map(
+                lambda x: x * trigger.astype(x.dtype), t)
+            g_dense, g_u, g_i = scl(g_dense), scl(g_u), scl(g_i)
+
+        updates, dense_state = dense_optimizer.update(
+            g_dense, opt_state["dense"], dense)
+        dense = optax.apply_updates(dense, updates)
+        # optax.scale_by_schedule evaluates at the PRE-increment count
+        lr_t = schedule(opt_state["count"]) * emb_scale
+        u_tab, u_acc = sparse_rowwise_adagrad_update(
+            tables["user_emb"], opt_state["user_acc"], batch["user_ids"],
+            g_u, lr_t, eps, ewd)
+        i_tab, i_acc = sparse_rowwise_adagrad_update(
+            tables["item_emb"], opt_state["item_acc"], items.reshape(-1),
+            g_i.reshape(-1, g_i.shape[-1]), lr_t, eps, ewd)
+        params = {**dense, "user_emb": u_tab, "item_emb": i_tab}
+        opt_state = {"dense": dense_state, "user_acc": u_acc,
+                     "item_acc": i_acc, "count": opt_state["count"] + 1}
+        metrics = {"loss": loss, **accuracy_stats(logits, targets)}
+        return params, opt_state, rng, metrics
+
+    return body
+
+
+def make_sparse_train_step(
+    model, cfg: Config, dense_optimizer, schedule,
+    neg_cdf=None, item_dept=None, item_cat=None,
+) -> Callable:
+    """Sparse-table-update train step (same call contract as
+    ``make_train_step``): table grads stay [N, 2d] row grads, tables and
+    accumulators update by scatter on the donated buffers — per-step HBM
+    traffic is O(batch), not O(vocab)."""
+    body = _make_sparse_body(model, cfg, dense_optimizer, schedule)
+    consts = _const_args(neg_cdf, item_dept, item_cat, None)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _step(params, opt_state, rng, batch, consts):
+        return body(params, opt_state, rng, batch, consts)
+
+    def train_step(params, opt_state, rng, batch):
+        return _step(params, opt_state, rng, batch, consts)
+
+    return train_step
+
+
+def make_sparse_multi_train_step(
+    model, cfg: Config, dense_optimizer, schedule,
+    neg_cdf=None, item_dept=None, item_cat=None,
+) -> Callable:
+    """K sparse steps per dispatch via lax.scan (multi-step contract of
+    ``make_multi_train_step``)."""
+    body = _make_sparse_body(model, cfg, dense_optimizer, schedule)
+    consts = _const_args(neg_cdf, item_dept, item_cat, None)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _multi(params, opt_state, rng, batches, consts):
+        def scan_body(carry, batch):
+            params, opt_state, rng = carry
+            params, opt_state, rng, metrics = body(
+                params, opt_state, rng, batch, consts)
+            return (params, opt_state, rng), metrics
+
+        (params, opt_state, rng), ms = jax.lax.scan(
+            scan_body, (params, opt_state, rng), batches)
+        metrics = jax.tree_util.tree_map(lambda x: x.mean(), ms)
+        return params, opt_state, rng, metrics
+
+    def multi_train_step(params, opt_state, rng, batches):
+        return _multi(params, opt_state, rng, batches, consts)
+
+    return multi_train_step
+
+
 def make_eval_step(
     model,
     cfg: Config,

@@ -167,10 +167,42 @@ class Trainer:
             if self.item_dept is not None:
                 self.item_dept = jax.device_put(self.item_dept, rep)
                 self.item_cat = jax.device_put(self.item_cat, rep)
-        self.optimizer = make_optimizer(cfg.train, len(self.train_iter))
-        # init AFTER sharding: optax states are zeros_like(params) and
-        # inherit each param's NamedSharding
-        self.opt_state = self.optimizer.init(self.params)
+        # sparse-table-update mode (train/sparse.py): rowwise-Adagrad
+        # tables update by scatter on touched rows only — O(batch) HBM
+        # traffic per step instead of O(vocab) (the fbgemm fused-sparse
+        # path; measured 215k -> see BENCH_NOTES at 12M entities)
+        from ncf_tpu.train.step import (
+            init_sparse_opt_state, make_sparse_multi_train_step,
+            make_sparse_train_step, sparse_mode_available)
+
+        mode = getattr(cfg.train, "sparse_table_update", "auto")
+        self.sparse_tables = (
+            mode == "on"
+            or (mode == "auto" and sparse_mode_available(cfg, mesh)))
+        if self.sparse_tables and not sparse_mode_available(cfg, mesh):
+            raise ValueError(
+                "sparse_table_update=on requires rowwise_adagrad tables, "
+                "advanced_ncf in the big-vocab regime, single device, "
+                "no sequence path")
+        if self.sparse_tables:
+            import dataclasses
+
+            from ncf_tpu.train.optim import make_schedule
+
+            # dense-only optax chain: the step clips the FULL grad set
+            # itself, so the chain must not clip again
+            dense_cfg = dataclasses.replace(
+                cfg.train, gradient_clip_norm=0.0)
+            self.optimizer = make_optimizer(dense_cfg, len(self.train_iter))
+            self._sparse_schedule = make_schedule(
+                cfg.train, len(self.train_iter))
+            self.opt_state = init_sparse_opt_state(
+                self.optimizer, self.params)
+        else:
+            self.optimizer = make_optimizer(cfg.train, len(self.train_iter))
+            # init AFTER sharding: optax states are zeros_like(params) and
+            # inherit each param's NamedSharding
+            self.opt_state = self.optimizer.init(self.params)
         if mesh is not None:
             # rowwise-Adagrad accumulators ([rows] jnp.full, not
             # zeros_like) don't inherit table sharding — place the whole
@@ -192,10 +224,22 @@ class Trainer:
               "xla": ("xla", "split")}[cfg.train.embedding_scatter])
 
         if cfg.train.steps_per_dispatch == 0:
-            # auto: measure per-dispatch overhead vs step time and pick K
-            # (ROADMAP #5; replaces the hard-coded K=8 in the scale configs)
-            cfg.train.steps_per_dispatch = self._autotune_dispatch()
-        if cfg.train.steps_per_dispatch > 1:
+            if self.sparse_tables:
+                # the autotune probe builds the dense-path steps; skip it
+                log.info("sparse_table_update: steps_per_dispatch=8")
+                cfg.train.steps_per_dispatch = 8
+            else:
+                # auto: measure per-dispatch overhead vs step time and
+                # pick K (replaces the hard-coded K=8 in scale configs)
+                cfg.train.steps_per_dispatch = self._autotune_dispatch()
+        if self.sparse_tables:
+            builder = (make_sparse_multi_train_step
+                       if cfg.train.steps_per_dispatch > 1
+                       else make_sparse_train_step)
+            self.train_step = builder(
+                self.model, cfg, self.optimizer, self._sparse_schedule,
+                self.neg_cdf, self.item_dept, self.item_cat)
+        elif cfg.train.steps_per_dispatch > 1:
             self.train_step = make_multi_train_step(
                 self.model, cfg, self.optimizer, self.neg_cdf,
                 self.item_dept, self.item_cat, self.user_history)

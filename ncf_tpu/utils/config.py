@@ -110,6 +110,18 @@ class TrainConfig:
     #                                     results/embopt_parity.jsonl).
     #                                     Dense params always get full
     #                                     Adam.  See train/optim.py.
+    sparse_table_update: str = "auto"   # auto | on | off — update ONLY
+    #                                     the rows a batch touches
+    #                                     (train/sparse.py, the fbgemm
+    #                                     fused-sparse-optimizer path):
+    #                                     per-step HBM traffic O(batch)
+    #                                     instead of O(vocab).  auto =
+    #                                     on when step.sparse_mode_available
+    #                                     (rowwise_adagrad + AdvancedNCF
+    #                                     big-vocab regime, single chip).
+    #                                     Table weight decay becomes
+    #                                     decay-on-touch (fbgemm
+    #                                     semantics).
     embedding_weight_decay: float = 0.0  # L2 on the TABLES under the
     #                                      memory-efficient optimizers
     #                                      (they default to fbgemm's
@@ -344,6 +356,10 @@ class Config:
                 f"train.embedding_optimizer must be adam | rowwise_adagrad "
                 f"| bf16_adam | partial_rowwise_adam, "
                 f"got {t.embedding_optimizer!r}")
+        if t.sparse_table_update not in ("auto", "on", "off"):
+            raise ValueError(
+                f"train.sparse_table_update must be auto | on | off, "
+                f"got {t.sparse_table_update!r}")
         if self.mesh.embedding_exchange not in ("pjit", "explicit"):
             raise ValueError(
                 f"mesh.embedding_exchange must be 'pjit' or 'explicit', "
