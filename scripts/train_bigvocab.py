@@ -36,11 +36,18 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "configs",
             "advanced_ncf_bigvocab.yaml")).validate()
-    if len(sys.argv) >= 3:
-        cfg.data.synthetic_users = int(sys.argv[1])
-        cfg.data.synthetic_items = int(sys.argv[2])
-    if len(sys.argv) >= 4:
-        cfg.data.synthetic_avg_txns_per_user = int(sys.argv[3])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) >= 2:
+        cfg.data.synthetic_users = int(args[0])
+        cfg.data.synthetic_items = int(args[1])
+    if len(args) >= 3:
+        cfg.data.synthetic_avg_txns_per_user = int(args[2])
+    for a in sys.argv[1:]:
+        if a.startswith("--tag="):
+            tag = a.split("=", 1)[1]
+            cfg.train.checkpoint_dir += f"_{tag}"
+            cfg.train.metrics_file = (
+                cfg.train.metrics_file.replace(".jsonl", f"_{tag}.jsonl"))
 
     t0 = time.time()
     inter = generate_interactions(
@@ -76,6 +83,8 @@ def main():
           flush=True)
 
     trainer = Trainer(cfg, inter)
+    print(f"sparse_table_update: {trainer.sparse_tables} "
+          f"(mode={cfg.train.sparse_table_update})", flush=True)
     t0 = time.time()
     best = trainer.train()
     wall = time.time() - t0
@@ -83,6 +92,7 @@ def main():
         "users": inter.num_users, "items": inter.num_items,
         "interactions": len(inter),
         "embedding_optimizer": cfg.train.embedding_optimizer,
+        "sparse_table_update": trainer.sparse_tables,
         "hr@10": round(best["hr@10"], 4),
         "ndcg@10": round(best["ndcg@10"], 4),
         "val_loss": round(best["val_loss"], 5),
