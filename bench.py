@@ -322,6 +322,14 @@ def main():
     conv = read_convergence()
     if conv:
         detail["ml1m_scale_leave_one_out"] = conv
+    try:
+        # latest big-vocab (precompute-OFF) regime record, if present
+        with open("results/bigvocab_summary.jsonl") as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        if rows:
+            detail["bigvocab_regime"] = rows[-1]
+    except OSError:
+        pass
 
     print(json.dumps({
         "metric": "advanced_ncf_train_examples_per_sec_per_chip",
