@@ -85,18 +85,21 @@ def main():
 
     # bf16 exact streaming (prepared)
     prep = prepare_items(items, bias)
+    print(f"prepared: block_items={prep.block_items} "
+          f"seg_width={prep.seg_width}", flush=True)
     t = chained_time(lambda q: topk_scores(q, prep, K), q0)
     _, idxs = topk_scores(q0, prep, K)
     record("bf16_exact", t, idxs, num_items * D * 2 + num_items * 4)
 
-    # bf16 fast (seg_top=1)
-    t = chained_time(lambda q: topk_scores(q, prep, K, seg_top=1), q0)
-    _, idxs = topk_scores(q0, prep, K, seg_top=1)
+    # bf16 fast ('fast' preset shape: seg 64, seg_top=1)
+    prep64 = prepare_items(items, bias, seg_width=64)
+    t = chained_time(lambda q: topk_scores(q, prep64, K, seg_top=1), q0)
+    _, idxs = topk_scores(q0, prep64, K, seg_top=1)
     record("bf16_fast", t, idxs, num_items * D * 2 + num_items * 4)
-    del prep
+    del prep, prep64
 
     # int8 with exact rescore (the 'int8' preset: over-fetch +6, rescore)
-    prep8 = prepare_items_int8(items, bias)
+    prep8 = prepare_items_int8(items, bias, q0, seg_width=128)
     fetch = K + 6
 
     def int8_rescore(q):
