@@ -120,16 +120,58 @@ def step_cost_analysis(train_step, params, opt_state, rng, batch):
 
     Caveat: Pallas kernels appear as custom calls with no cost, so the
     scatter-add kernel's MACs are NOT counted — the returned utilizations
-    are lower bounds on real MXU/HBM activity."""
+    are lower bounds on real MXU/HBM activity.  The axon TPU backend's
+    Lowered.cost_analysis() returns None, so when it does, the same
+    graph is lowered in a CPU-pinned SUBPROCESS purely for HLO cost
+    counting (op flops are platform-independent; 'bytes accessed'
+    reflects pre-fusion operand traffic and overstates what the fused
+    TPU executable really touches).  Returns PER-STEP (flops, bytes)."""
     try:
         lowered = jax.jit(train_step).lower(params, opt_state, rng, batch)
         ca = lowered.cost_analysis()
+        if ca is None:
+            return _cpu_subprocess_cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        # HLO cost analysis counts a lax.scan body ONCE (verified: K=2
+        # and K=8 dispatches report identical flops), so the dispatch
+        # numbers already ARE per-step numbers
         return (float(ca.get("flops", 0.0)),
                 float(ca.get("bytes accessed", 0.0)))
     except Exception:
         return None, None
+
+
+def _cpu_subprocess_cost_analysis():
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import json\n"
+        "import bench\n"
+        # single step (no lax.scan): HLO cost analysis does not scale
+        # while-loop bodies by trip count, so analyze one step directly
+        "ts, p, o, b = bench.build(steps_per_dispatch=1)\n"
+        "rng = jax.random.PRNGKey(0)\n"
+        "ca = jax.jit(ts).lower(p, o, rng, b).cost_analysis()\n"
+        "if isinstance(ca, (list, tuple)): ca = ca[0]\n"
+        "print('COST', json.dumps([float(ca.get('flops', 0.0)),\n"
+        "      float(ca.get('bytes accessed', 0.0))]))\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=300)
+        for line in out.stdout.splitlines():
+            if line.startswith("COST "):
+                flops, nbytes = json.loads(line[5:])
+                return flops, nbytes
+    except Exception:
+        pass
+    return None, None
 
 
 def bench_serving_qps():
@@ -295,12 +337,14 @@ def main():
     flops_d, bytes_d = step_cost_analysis(
         train_step, params, opt_state, rng, batch)
     if flops_d:
-        f_step = flops_d / STEPS_PER_DISPATCH
-        b_step = bytes_d / STEPS_PER_DISPATCH
+        f_step, b_step = flops_d, bytes_d
         detail["train_step_gflops"] = round(f_step / 1e9, 2)
-        detail["train_step_hbm_gb"] = round(b_step / 1e9, 3)
         detail["train_mxu_util"] = round(f_step / dt_step / PEAK_FLOPS, 4)
-        detail["train_hbm_util"] = round(b_step / dt_step / PEAK_HBM, 4)
+        # 'bytes accessed' is PRE-fusion operand traffic (sums every
+        # op's operands before XLA fuses elementwise chains), so it is
+        # reported as-is, NOT as a utilization — the fused executable
+        # touches far less
+        detail["train_prefusion_gb"] = round(b_step / 1e9, 3)
     if qps is not None:
         detail["serving_topk_users_per_s_1M_items"] = round(qps, 1)
         detail["serving_topk_ms_per_1024_users"] = round(serve_ms, 3)
