@@ -48,6 +48,10 @@ def main():
             cfg.train.checkpoint_dir += f"_{tag}"
             cfg.train.metrics_file = (
                 cfg.train.metrics_file.replace(".jsonl", f"_{tag}.jsonl"))
+        elif a.startswith("--epochs="):
+            cfg.train.num_epochs = int(a.split("=", 1)[1])
+        elif a.startswith("--eval-every="):
+            cfg.train.eval_every_epochs = int(a.split("=", 1)[1])
 
     t0 = time.time()
     inter = generate_interactions(
