@@ -36,20 +36,38 @@ from ncf_tpu.ops.topk import (
 B, D, K = 1024, 64, 10
 
 
-def chained_time(make_call, q0, n=10, warmup=3):
-    q = q0
-    out = None
-    for _ in range(warmup):
-        out = make_call(q)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = make_call(q)
-        lead = jax.tree_util.tree_leaves(out)[0]
-        q = q0 + (lead.reshape(-1)[0].astype(jnp.float32) * 1e-30
-                  ).astype(q0.dtype)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+def chained_time(make_call, q0, *operands, n=5):
+    """Marginal per-iteration cost of a chained lax.scan ended by a REAL
+    host fetch.  Host-loop chaining with block_until_ready is NOT valid
+    under the axon tunnel (early ACK before the device drains — it
+    measured the seg_top=2 tier 8.8x slower than reality here); this is
+    the bench.py methodology.  ``operands`` ride as jit arguments so
+    multi-GB tables do not become graph constants."""
+    def make(nn):
+        @jax.jit
+        def run(q0, *ops):
+            def body(q, _):
+                out = make_call(q, *ops)
+                lead = jax.tree_util.tree_leaves(out)[0]
+                bump = (lead.reshape(-1)[0].astype(jnp.float32)
+                        * 1e-30).astype(q0.dtype)
+                return q0 + bump, ()
+            q, _ = jax.lax.scan(body, q0, None, length=nn)
+            return q
+        return run
+
+    def timed(nn):
+        run = make(nn)
+        np.asarray(run(q0, *operands))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(run(q0, *operands))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_s, t_l = timed(n), timed(4 * n)
+    return (t_l - t_s) / (3 * n)
 
 
 def recall_vs(idx_exact, idx_got):
@@ -87,13 +105,14 @@ def main():
     prep = prepare_items(items, bias)
     print(f"prepared: block_items={prep.block_items} "
           f"seg_width={prep.seg_width}", flush=True)
-    t = chained_time(lambda q: topk_scores(q, prep, K), q0)
+    t = chained_time(lambda q, p: topk_scores(q, p, K), q0, prep)
     _, idxs = topk_scores(q0, prep, K)
     record("bf16_exact", t, idxs, num_items * D * 2 + num_items * 4)
 
     # bf16 fast ('fast' preset shape: seg 64, seg_top=1)
     prep64 = prepare_items(items, bias, seg_width=64)
-    t = chained_time(lambda q: topk_scores(q, prep64, K, seg_top=1), q0)
+    t = chained_time(lambda q, p: topk_scores(q, p, K, seg_top=1),
+                     q0, prep64)
     _, idxs = topk_scores(q0, prep64, K, seg_top=1)
     record("bf16_fast", t, idxs, num_items * D * 2 + num_items * 4)
     del prep, prep64
@@ -102,17 +121,17 @@ def main():
     prep8 = prepare_items_int8(items, bias, q0, seg_width=128)
     fetch = K + 6
 
-    def int8_rescore(q):
-        _, ii = topk_scores(q, prep8, fetch)
-        vv, ii = rescore_exact(q, items, bias, ii)
+    def int8_rescore(q, p8, it, bi):
+        _, ii = topk_scores(q, p8, fetch)
+        vv, ii = rescore_exact(q, it, bi, ii)
         return vv[:, :K], ii[:, :K]
 
-    t = chained_time(int8_rescore, q0)
-    _, idxs = int8_rescore(q0)
+    t = chained_time(int8_rescore, q0, prep8, items, bias)
+    _, idxs = int8_rescore(q0, prep8, items, bias)
     record("int8_rescored", t, idxs, num_items * D + num_items * 8)
 
     # int8-fast (dequantized scores, no rescore)
-    t = chained_time(lambda q: topk_scores(q, prep8, K), q0)
+    t = chained_time(lambda q, p8: topk_scores(q, p8, K), q0, prep8)
     _, idxs = topk_scores(q0, prep8, K)
     record("int8_fast", t, idxs, num_items * D + num_items * 8)
 
