@@ -69,7 +69,10 @@ def cmd_train(args) -> int:
 
     cfg = load_config(args)
     inter = _load_interactions(cfg)
-    trainer = Trainer(cfg, inter)
+    mesh = cfg.build_mesh()
+    if mesh is not None:
+        log.info("training over mesh %s", dict(mesh.shape))
+    trainer = Trainer(cfg, inter, mesh=mesh)
     if args.resume:
         trainer.resume()
     best = trainer.train()

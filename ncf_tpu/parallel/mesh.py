@@ -31,6 +31,11 @@ EMBEDDING_TABLE_KEYS = (
     "gmf_user", "gmf_item",
 )
 
+# optimizer-state-only leaves that shard with their table's row axis:
+# the sparse-update path's rowwise accumulators (train/step.py::
+# init_sparse_opt_state) are keyed by table, not by param path
+EMBEDDING_STATE_KEYS = EMBEDDING_TABLE_KEYS + ("user_acc", "item_acc")
+
 
 def make_mesh(
     dcn: int = 1, ici: int = -1, devices: Optional[list] = None
@@ -93,7 +98,7 @@ def state_spec(path, leaf, mesh: Mesh, shard_embeddings: bool = True) -> P:
         shard_embeddings
         and ici_size > 1
         and hasattr(leaf, "ndim") and leaf.ndim in (1, 2)
-        and any(k in name for k in EMBEDDING_TABLE_KEYS)
+        and any(k in name for k in EMBEDDING_STATE_KEYS)
         and leaf.shape[0] % ici_size == 0
     ):
         return P(ICI_AXIS, *([None] * (leaf.ndim - 1)))

@@ -53,6 +53,17 @@ class _Coalescer:
                  dispatchers: int = 4):
         self.server = server
         self.max_batch = int(max_batch)
+        # bucket ladder must COVER max_batch: a group larger than the
+        # top bucket would otherwise dispatch at its raw arrival count,
+        # compiling a fresh executable per distinct size — exactly what
+        # the buckets exist to avoid
+        buckets = [b for b in self.BUCKETS if b < self.max_batch]
+        b = 128
+        while b < self.max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.max_batch)
+        self.buckets = tuple(sorted(set(buckets)))
         self.q: "queue.Queue" = queue.Queue()
         self.batched_calls = 0
         self.batched_requests = 0
@@ -125,10 +136,10 @@ class _Coalescer:
         return item["scores"], item["items"]
 
     def _bucket(self, n: int) -> int:
-        for b in self.BUCKETS:
+        for b in self.buckets:
             if n <= b:
                 return b
-        return self.BUCKETS[-1]
+        return self.buckets[-1]
 
     def _loop(self) -> None:
         while True:

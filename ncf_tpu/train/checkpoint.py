@@ -257,9 +257,16 @@ def find_best(directory: str) -> Optional[str]:
     return None
 
 
-def garbage_collect(directory: str, keep: int = 3) -> List[str]:
+def garbage_collect(directory: str, keep: int = 3,
+                    in_epoch_only: bool = False) -> List[str]:
     """Delete old checkpoints, keeping the newest ``keep`` plus whatever
-    ``best`` points at."""
+    ``best`` points at.
+
+    ``in_epoch_only=True`` restricts deletion to MID-EPOCH checkpoints
+    (manifest ``extra.in_epoch``): frequent ``checkpoint_every_dispatches``
+    saves would otherwise cycle epoch-boundary checkpoints — the states a
+    user expects for export/rollback — out of the shared retention budget.
+    """
     if not os.path.isdir(directory):
         return []
     best = find_best(directory)
@@ -267,6 +274,16 @@ def garbage_collect(directory: str, keep: int = 3) -> List[str]:
     ckpts = sorted(
         (name for name in os.listdir(directory) if _CKPT_RE.match(name)),
         key=lambda n: int(_CKPT_RE.match(n).group(1)))
+    if in_epoch_only:
+        def _is_mid(name: str) -> bool:
+            try:
+                with open(os.path.join(directory, name, MANIFEST)) as f:
+                    return bool((json.load(f).get("extra") or {})
+                                .get("in_epoch"))
+            except OSError:
+                return False
+
+        ckpts = [n for n in ckpts if _is_mid(n)]
     removed = []
     for name in ckpts[:-keep] if keep > 0 else []:
         if name == best_name:

@@ -64,23 +64,25 @@ def combine_duplicate_rows(
     return rep_ids, totals
 
 
-def sparse_rowwise_adagrad_update(
+def sparse_rowwise_adagrad_apply(
     table: jax.Array,      # [V, d] (donated by the caller's jit)
     acc: jax.Array,        # [V] f32 rowwise accumulator
-    ids: jax.Array,        # int32 [N] touched row ids (may repeat)
-    grads: jax.Array,      # [N, d] per-occurrence gradients
+    rep_ids: jax.Array,    # int32 [N] UNIQUE row ids (sinks >= V dropped)
+    totals: jax.Array,     # [N, d] per-unique-row gradient totals
     lr,                    # scalar learning rate (schedule applied)
     eps: float = 1e-8,
     weight_decay: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One exact rowwise-Adagrad step touching only the batch's rows.
+    """Apply rowwise Adagrad to pre-combined per-unique-row totals.
 
-    ``weight_decay`` is decay-on-touch (fbgemm sparse semantics): the
-    decay term joins the gradient total of every TOUCHED row; idle rows
-    are untouched.
+    Split out from ``sparse_rowwise_adagrad_update`` so callers can
+    compute the gradient-clip norm over the COMBINED totals (matching
+    the dense path's table-gradient norm under duplicate ids) before
+    applying, and so the sharded path can route totals to owner shards
+    first.  ``weight_decay`` is decay-on-touch (fbgemm sparse
+    semantics): the decay term joins the gradient total of every
+    TOUCHED row; idle rows are untouched.
     """
-    V = table.shape[0]
-    rep_ids, totals = combine_duplicate_rows(ids, grads, V)
     if weight_decay:
         rows = jnp.take(table, rep_ids, axis=0, mode="fill", fill_value=0.0)
         totals = totals + weight_decay * rows.astype(jnp.float32)
@@ -93,3 +95,19 @@ def sparse_rowwise_adagrad_update(
         -upd.astype(table.dtype), mode="drop", unique_indices=True)
     acc = acc.at[rep_ids].set(acc_new, mode="drop", unique_indices=True)
     return table, acc
+
+
+def sparse_rowwise_adagrad_update(
+    table: jax.Array,      # [V, d] (donated by the caller's jit)
+    acc: jax.Array,        # [V] f32 rowwise accumulator
+    ids: jax.Array,        # int32 [N] touched row ids (may repeat)
+    grads: jax.Array,      # [N, d] per-occurrence gradients
+    lr,                    # scalar learning rate (schedule applied)
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """One exact rowwise-Adagrad step touching only the batch's rows:
+    combine duplicate occurrences, then apply."""
+    rep_ids, totals = combine_duplicate_rows(ids, grads, table.shape[0])
+    return sparse_rowwise_adagrad_apply(
+        table, acc, rep_ids, totals, lr, eps, weight_decay)

@@ -200,19 +200,34 @@ TABLE_KEYS = ("user_emb", "item_emb")
 
 
 def sparse_mode_available(cfg: Config, mesh=None) -> bool:
-    """Whether the sparse-table-update path applies (train/sparse.py —
-    the fbgemm fused-sparse-optimizer equivalent): rowwise-Adagrad
-    tables, AdvancedNCF in the big-vocab (precompute-OFF) regime,
-    single-device, no sequence path (its history lookups would need row
-    injection too)."""
+    """Whether the sparse-table-update path applies (train/sparse.py +
+    train/sparse_sharded.py — the fbgemm fused-sparse-optimizer
+    equivalent, single-device or composed with row-sharded tables under
+    a mesh the way torchrec runs fused optimizers under
+    DistributedModelParallel, reference trainer.py:85-88):
+    rowwise-Adagrad tables, AdvancedNCF in the big-vocab
+    (precompute-OFF) regime, no sequence path (its history lookups
+    would need row injection too).  Under a mesh, both tables must
+    divide the 'ici' axis and the batch must divide the device count
+    (the static-shape requirements of the all-to-all grad routing)."""
     m, t = cfg.model, cfg.train
     entities = m.num_users + m.num_items
-    return (
+    base = (
         t.embedding_optimizer == "rowwise_adagrad"
         and m.name == "advanced_ncf"
         and not m.use_sequence
-        and mesh is None
         and entities > 4 * t.batch_size * (1 + m.negative_samples))
+    if not base or mesh is None:
+        return base
+    from ncf_tpu.parallel.mesh import DCN_AXIS, ICI_AXIS
+
+    E = int(mesh.shape[ICI_AXIS])
+    G = int(mesh.shape.get(DCN_AXIS, 1))
+    return (
+        getattr(cfg.mesh, "shard_embeddings", True)
+        and m.num_users % E == 0
+        and m.num_items % E == 0
+        and t.batch_size % (E * G) == 0)
 
 
 def init_sparse_opt_state(dense_optimizer, params):
@@ -227,9 +242,17 @@ def init_sparse_opt_state(dense_optimizer, params):
     }
 
 
-def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule):
-    """Shared single-step body for the sparse-table-update path."""
-    from ncf_tpu.train.sparse import sparse_rowwise_adagrad_update
+def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule,
+                      mesh=None):
+    """Shared single-step body for the sparse-table-update path.
+
+    ``mesh=None``: tables are single-device; duplicates combine locally.
+    With a mesh, tables are row-sharded P('ici', None) and grads route
+    to owner shards via the all-to-all schedule
+    (train/sparse_sharded.py) — the fused-sparse-under-DMP composition.
+    """
+    from ncf_tpu.train.sparse import (combine_duplicate_rows,
+                                      sparse_rowwise_adagrad_apply)
 
     mcfg, tcfg = cfg.model, cfg.train
     S = 1 + mcfg.negative_samples
@@ -241,6 +264,21 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule):
                  if tcfg.embedding_learning_rate else 1.0)
     ewd = getattr(tcfg, "embedding_weight_decay", 0.0) or 0.0
     eps = getattr(tcfg, "embedding_adagrad_eps", 1e-8)
+    sharded = False
+    if mesh is not None:
+        from ncf_tpu.parallel.mesh import ICI_AXIS
+
+        sharded = int(mesh.shape[ICI_AXIS]) > 1
+
+    def _gather(table, ids):
+        if sharded:
+            # explicit all-to-all lookup (no autodiff needed: the rows
+            # re-enter the loss as arguments); jnp.take on a 16M-row
+            # sharded table would all-gather the whole table
+            from ncf_tpu.parallel.embedding_sharding import exchange_lookup
+
+            return exchange_lookup(mesh, table, ids)
+        return jnp.take(table, ids, axis=0)
 
     def body(params, opt_state, rng, batch, consts):
         tables = {k: params[k] for k in TABLE_KEYS}
@@ -258,9 +296,9 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule):
         temporal = {k: batch[k] for k in ("hour", "day", "month",
                                           "day_of_year") if k in batch} or None
 
-        user_rows = jnp.take(tables["user_emb"], batch["user_ids"], axis=0)
-        item_rows = jnp.take(tables["item_emb"], items.reshape(-1),
-                             axis=0).reshape(items.shape + (-1,))
+        user_rows = _gather(tables["user_emb"], batch["user_ids"])
+        item_rows = _gather(tables["item_emb"], items.reshape(-1)).reshape(
+            items.shape + (-1,))
 
         def loss_fn(dense_p, u_rows, i_rows):
             logits = model.apply(
@@ -276,27 +314,53 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule):
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
             dense, user_rows, item_rows)
         g_dense, g_u, g_i = grads
-        if clip > 0:
-            # optax.clip_by_global_norm semantics over the FULL grad set
-            # (row grads == the table grads' only nonzero entries, so
-            # the norm matches the dense path's)
-            gnorm = optax.global_norm((g_dense, g_u, g_i))
-            trigger = jnp.minimum(clip / gnorm, 1.0)
-            scl = lambda t: jax.tree.map(
-                lambda x: x * trigger.astype(x.dtype), t)
-            g_dense, g_u, g_i = scl(g_dense), scl(g_u), scl(g_i)
+        g_i = g_i.reshape(-1, g_i.shape[-1])
+        # optax.scale_by_schedule evaluates at the PRE-increment count
+        lr_t = schedule(opt_state["count"]) * emb_scale
+
+        if sharded:
+            from ncf_tpu.train.sparse_sharded import (
+                sharded_sparse_rowwise_adagrad_update)
+
+            dense_sq = (optax.global_norm(g_dense) ** 2 if clip > 0
+                        else None)
+            (u_tab, i_tab), (u_acc, i_acc), gscale = (
+                sharded_sparse_rowwise_adagrad_update(
+                    mesh,
+                    [tables["user_emb"], tables["item_emb"]],
+                    [opt_state["user_acc"], opt_state["item_acc"]],
+                    [batch["user_ids"], items.reshape(-1)],
+                    [g_u, g_i], lr_t, eps, ewd,
+                    clip=clip, dense_sq=dense_sq))
+            if clip > 0:
+                g_dense = jax.tree.map(
+                    lambda x: x * gscale.astype(x.dtype), g_dense)
+        else:
+            # combine duplicate occurrences FIRST so the clip norm is
+            # taken over per-unique-row totals — exactly the dense
+            # path's table-gradient norm (sum|g|^2 over occurrences
+            # would over-count duplicates)
+            u_rep, u_tot = combine_duplicate_rows(
+                batch["user_ids"], g_u, tables["user_emb"].shape[0])
+            i_rep, i_tot = combine_duplicate_rows(
+                items.reshape(-1), g_i, tables["item_emb"].shape[0])
+            if clip > 0:
+                gnorm = optax.global_norm((g_dense, u_tot, i_tot))
+                trigger = jnp.minimum(clip / gnorm, 1.0)
+                g_dense = jax.tree.map(
+                    lambda x: x * trigger.astype(x.dtype), g_dense)
+                u_tot = u_tot * trigger
+                i_tot = i_tot * trigger
+            u_tab, u_acc = sparse_rowwise_adagrad_apply(
+                tables["user_emb"], opt_state["user_acc"], u_rep, u_tot,
+                lr_t, eps, ewd)
+            i_tab, i_acc = sparse_rowwise_adagrad_apply(
+                tables["item_emb"], opt_state["item_acc"], i_rep, i_tot,
+                lr_t, eps, ewd)
 
         updates, dense_state = dense_optimizer.update(
             g_dense, opt_state["dense"], dense)
         dense = optax.apply_updates(dense, updates)
-        # optax.scale_by_schedule evaluates at the PRE-increment count
-        lr_t = schedule(opt_state["count"]) * emb_scale
-        u_tab, u_acc = sparse_rowwise_adagrad_update(
-            tables["user_emb"], opt_state["user_acc"], batch["user_ids"],
-            g_u, lr_t, eps, ewd)
-        i_tab, i_acc = sparse_rowwise_adagrad_update(
-            tables["item_emb"], opt_state["item_acc"], items.reshape(-1),
-            g_i.reshape(-1, g_i.shape[-1]), lr_t, eps, ewd)
         params = {**dense, "user_emb": u_tab, "item_emb": i_tab}
         opt_state = {"dense": dense_state, "user_acc": u_acc,
                      "item_acc": i_acc, "count": opt_state["count"] + 1}
@@ -308,13 +372,15 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule):
 
 def make_sparse_train_step(
     model, cfg: Config, dense_optimizer, schedule,
-    neg_cdf=None, item_dept=None, item_cat=None,
+    neg_cdf=None, item_dept=None, item_cat=None, mesh=None,
 ) -> Callable:
     """Sparse-table-update train step (same call contract as
     ``make_train_step``): table grads stay [N, 2d] row grads, tables and
     accumulators update by scatter on the donated buffers — per-step HBM
-    traffic is O(batch), not O(vocab)."""
-    body = _make_sparse_body(model, cfg, dense_optimizer, schedule)
+    traffic is O(batch), not O(vocab).  With a mesh, tables/accumulators
+    are row-sharded and updates route via all-to-all
+    (train/sparse_sharded.py)."""
+    body = _make_sparse_body(model, cfg, dense_optimizer, schedule, mesh)
     consts = _const_args(neg_cdf, item_dept, item_cat, None)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -329,11 +395,11 @@ def make_sparse_train_step(
 
 def make_sparse_multi_train_step(
     model, cfg: Config, dense_optimizer, schedule,
-    neg_cdf=None, item_dept=None, item_cat=None,
+    neg_cdf=None, item_dept=None, item_cat=None, mesh=None,
 ) -> Callable:
     """K sparse steps per dispatch via lax.scan (multi-step contract of
     ``make_multi_train_step``)."""
-    body = _make_sparse_body(model, cfg, dense_optimizer, schedule)
+    body = _make_sparse_body(model, cfg, dense_optimizer, schedule, mesh)
     consts = _const_args(neg_cdf, item_dept, item_cat, None)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

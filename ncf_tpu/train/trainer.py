@@ -182,8 +182,9 @@ class Trainer:
         if self.sparse_tables and not sparse_mode_available(cfg, mesh):
             raise ValueError(
                 "sparse_table_update=on requires rowwise_adagrad tables, "
-                "advanced_ncf in the big-vocab regime, single device, "
-                "no sequence path")
+                "advanced_ncf in the big-vocab regime, no sequence path; "
+                "under a mesh: shard_embeddings with table rows divisible "
+                "by ici and batch divisible by the device count")
         if self.sparse_tables:
             import dataclasses
 
@@ -238,7 +239,7 @@ class Trainer:
                        else make_sparse_train_step)
             self.train_step = builder(
                 self.model, cfg, self.optimizer, self._sparse_schedule,
-                self.neg_cdf, self.item_dept, self.item_cat)
+                self.neg_cdf, self.item_dept, self.item_cat, mesh=mesh)
         elif cfg.train.steps_per_dispatch > 1:
             self.train_step = make_multi_train_step(
                 self.model, cfg, self.optimizer, self.neg_cdf,
@@ -499,8 +500,12 @@ class Trainer:
             backend="orbax" if be.startswith("orbax") else "native",
             async_save=be == "orbax_async",
             extra=extra)
+        # mid-epoch saves GC only other mid-epoch checkpoints: frequent
+        # dispatch-interval saves must not cycle the epoch-boundary
+        # checkpoints out of the shared retention budget
         ckpt_lib.garbage_collect(
-            self.cfg.train.checkpoint_dir, self.cfg.train.keep_checkpoints)
+            self.cfg.train.checkpoint_dir, self.cfg.train.keep_checkpoints,
+            in_epoch_only=bool((extra or {}).get("in_epoch")))
         return path
 
     def resume(self, ckpt_dir: Optional[str] = None) -> bool:
@@ -513,11 +518,19 @@ class Trainer:
         try:
             state, manifest = ckpt_lib.restore(ckpt_dir, self._state())
             self.rng = jnp.asarray(state["rng"])
-        except KeyError:
+        except Exception as err:    # noqa: BLE001 — see fallback below
             # pre-round-3 checkpoint without the rng leaf: restore the
-            # rest, keep this run's fresh key (epoch-boundary semantics)
-            state, manifest = ckpt_lib.restore(
-                ckpt_dir, {"params": self.params, "opt_state": self.opt_state})
+            # rest, keep this run's fresh key (epoch-boundary semantics).
+            # The native backend raises KeyError here, but orbax raises
+            # its own structure-mismatch error types — so retry with the
+            # rng-less template on ANY failure and only surface the
+            # original error if that fallback fails too.
+            try:
+                state, manifest = ckpt_lib.restore(
+                    ckpt_dir,
+                    {"params": self.params, "opt_state": self.opt_state})
+            except Exception:
+                raise err
             log.warning("checkpoint has no rng key; resumed run will not "
                         "be bit-identical to an uninterrupted one")
         self.params, self.opt_state = state["params"], state["opt_state"]

@@ -208,6 +208,12 @@ class MeshConfig:
     """Device mesh / sharding (TPU-native; no reference equivalent —
     replaces torchrec DistributedModelParallel, trainer.py:85-88)."""
 
+    # build a mesh in the single-process entrypoints (cli train,
+    # scripts/train_bigvocab.py): 'off' = single-device, 'auto' = mesh
+    # when >1 device is visible, 'on' = require a mesh (fail if the
+    # (dcn, ici) shape doesn't fit the visible devices).  Multi-process
+    # launches (scripts/launch_multiprocess.py) build their own mesh.
+    enable: str = "off"
     dcn_axis: int = 1                   # hosts (data-parallel over DCN)
     ici_axis: int = -1                  # chips per host; -1 = all local devices
     shard_embeddings: bool = True       # row-shard tables over 'ici'
@@ -364,7 +370,23 @@ class Config:
             raise ValueError(
                 f"mesh.embedding_exchange must be 'pjit' or 'explicit', "
                 f"got {self.mesh.embedding_exchange!r}")
+        if self.mesh.enable not in ("off", "auto", "on"):
+            raise ValueError(
+                f"mesh.enable must be off | auto | on, "
+                f"got {self.mesh.enable!r}")
         return self
+
+    def build_mesh(self):
+        """Build the configured device mesh, or None (mesh.enable)."""
+        if self.mesh.enable == "off":
+            return None
+        import jax
+
+        from ncf_tpu.parallel import make_mesh
+
+        if self.mesh.enable == "auto" and len(jax.devices()) <= 1:
+            return None
+        return make_mesh(dcn=self.mesh.dcn_axis, ici=self.mesh.ici_axis)
 
 
 def setup_logging(level: str = "INFO", log_file: Optional[str] = None) -> None:

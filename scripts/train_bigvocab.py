@@ -42,6 +42,10 @@ def main():
         cfg.data.synthetic_items = int(args[1])
     if len(args) >= 3:
         cfg.data.synthetic_avg_txns_per_user = int(args[2])
+    # dotted config overrides (e.g. mesh.enable=on train.batch_size=8192)
+    cfg.apply_overrides([a for a in sys.argv[1:]
+                         if "=" in a and "." in a.split("=", 1)[0]
+                         and not a.startswith("--")])
     for a in sys.argv[1:]:
         if a.startswith("--tag="):
             tag = a.split("=", 1)[1]
@@ -86,7 +90,13 @@ def main():
     print(f"vocab precompute OFF: {entities:,} entities > 4*B*S={thresh:,}",
           flush=True)
 
-    trainer = Trainer(cfg, inter)
+    # mesh.enable=auto|on in the config (or a mesh.enable=on override)
+    # composes the sparse path with row-sharded tables — the
+    # fused-sparse-under-DMP equivalent (train/sparse_sharded.py)
+    mesh = cfg.build_mesh()
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
+    trainer = Trainer(cfg, inter, mesh=mesh)
     print(f"sparse_table_update: {trainer.sparse_tables} "
           f"(mode={cfg.train.sparse_table_update})", flush=True)
     t0 = time.time()

@@ -154,3 +154,27 @@ def test_exclusions_bypass_coalescer(setup):
 
 def test_bucket_padding():
     assert _Coalescer.BUCKETS == (1, 8, 64)
+
+
+def test_bucket_ladder_covers_max_batch(setup):
+    """coalesce_max_batch above 64 must extend the bucket ladder (round-3
+    advisor low: groups with n > top bucket dispatched at raw arrival
+    count, recompiling per distinct size)."""
+    inter, cfg, params = setup
+    srv = _server(inter, cfg, params, False)
+    try:
+        co = _Coalescer(srv, max_batch=300, dispatchers=1)
+        try:
+            assert co.buckets == (1, 8, 64, 128, 256, 300)
+            assert co._bucket(70) == 128       # padded, not raw
+            assert co._bucket(300) == 300
+            assert co._bucket(64) == 64
+        finally:
+            co.close()
+        co2 = _Coalescer(srv, max_batch=64, dispatchers=1)
+        try:
+            assert co2.buckets == (1, 8, 64)   # default unchanged
+        finally:
+            co2.close()
+    finally:
+        srv.close()

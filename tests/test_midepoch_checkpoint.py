@@ -102,6 +102,26 @@ def test_resume_latest_prefers_newest_and_restores_rng(tmp_path, inter):
     np.testing.assert_array_equal(np.asarray(t2.rng), rng_before)
 
 
+def test_midepoch_gc_spares_epoch_boundary_ckpts(tmp_path, inter):
+    """A tight keep_checkpoints budget with frequent mid-epoch saves must
+    NOT cycle epoch-boundary checkpoints out (round-3 advisor low):
+    mid-epoch saves GC only other mid-epoch checkpoints."""
+    cfg = _cfg(tmp_path / "gc", checkpoint_every_dispatches=0,
+               keep_checkpoints=2)
+    t = Trainer(cfg, inter)
+    boundary = t.save_checkpoint(0, {"val_loss": 1.0})
+    # a burst of mid-epoch saves under a tight budget (pre-fix these
+    # GC'd the boundary checkpoint out of the shared retention window)
+    for d in range(1, 6):
+        t.global_step += 1
+        t.save_checkpoint(1, {"mid_epoch": 1.0},
+                          extra={"dispatch": d, "in_epoch": True})
+    ckpt_dir = str(tmp_path / "gc")
+    assert os.path.isdir(boundary), "epoch-boundary checkpoint was GC'd"
+    # and the mid-epoch set itself is bounded by the budget
+    assert len(_mid_epoch_ckpts(ckpt_dir)) <= 2
+
+
 def test_epoch_boundary_checkpoints_unaffected(tmp_path, inter):
     """checkpoint_every_dispatches=0 keeps the old behavior: only
     epoch-boundary saves, resume starts at the next epoch."""

@@ -157,6 +157,35 @@ def test_end_to_end_equivalence_with_dense_path(tmp_path, big_inter, spd):
                                np.asarray(u_dense), rtol=1e-4, atol=1e-6)
 
 
+def test_clip_trigger_equivalence(tmp_path, big_inter):
+    """Gradient clipping that actually TRIGGERS with duplicate ids in the
+    batch: the sparse path's clip norm is taken over per-unique-row
+    totals (combine first), matching optax.clip_by_global_norm over the
+    dense table gradient — round-4 fix of the round-3 advisor's medium
+    finding (per-occurrence norms over-count duplicates)."""
+    from ncf_tpu.train import Trainer
+
+    cfg_a = _bigvocab_cfg("off", gradient_clip_norm=0.05)
+    cfg_a.train.num_epochs = 1
+    cfg_a.train.checkpoint_dir = str(tmp_path / "clip_a")
+    t_a = Trainer(cfg_a, big_inter)
+    t_a.train_epoch(0)
+
+    cfg_b = _bigvocab_cfg("on", gradient_clip_norm=0.05)
+    cfg_b.train.num_epochs = 1
+    cfg_b.train.checkpoint_dir = str(tmp_path / "clip_b")
+    t_b = Trainer(cfg_b, big_inter)
+    assert t_b.sparse_tables
+    t_b.train_epoch(0)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(t_a.params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(t_b.params)[0])
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path))
+
+
 def test_sparse_checkpoint_resume(tmp_path, big_inter):
     from ncf_tpu.train import Trainer
 
