@@ -53,13 +53,15 @@ STEPS_SHORT = 4          # dispatches (x STEPS_PER_DISPATCH steps)
 STEPS_LONG = 32
 
 
-def build(steps_per_dispatch: int = STEPS_PER_DISPATCH):
+def build(steps_per_dispatch: int = STEPS_PER_DISPATCH, **model_overrides):
     from ncf_tpu.models import get_model
     from ncf_tpu.train.optim import make_optimizer
     from ncf_tpu.train.step import make_multi_train_step, make_train_step
     from ncf_tpu.utils.config import Config
 
     cfg = Config()
+    for k, v in model_overrides.items():
+        setattr(cfg.model, k, v)
     cfg.model.num_users = NUM_USERS
     cfg.model.num_items = NUM_ITEMS
     cfg.model.num_departments = 9
@@ -174,7 +176,7 @@ def _cpu_subprocess_cost_analysis():
     return None, None
 
 
-def train_min_bytes(params, opt_state) -> dict:
+def train_min_bytes(params, opt_state, fused_tower: bool = False) -> dict:
     """Analytic MINIMUM HBM bytes for ONE training step of the flagship
     config (round-4 verdict item 2) — what a perfectly-scheduled
     executable must still move, so ``measured_time`` vs
@@ -225,8 +227,10 @@ def train_min_bytes(params, opt_state) -> dict:
     act += B * d * bf                  # attention output
     act += B * dt_dim * 4              # temporal vector f32
     act += B * (d + dt_dim) * bf       # combined concat
-    # tower: pre-LN linear out + LN out per layer, + dropout masks
-    act += 2 * B * (h1 + h2 + h3) * bf + B * (h1 + h2 + h3)
+    if not fused_tower:
+        # tower: pre-LN linear out + LN out per layer, + dropout masks
+        # (model.fused_tower keeps all of this in VMEM — recompute bwd)
+        act += 2 * B * (h1 + h2 + h3) * bf + B * (h1 + h2 + h3)
     act += B * 4 + B * S * 4           # mlp_pred + logits f32
     act += B * S * 4                   # sampled negatives (int32)
     asshipped = floor + 2 * act        # fwd write + bwd read
@@ -409,7 +413,8 @@ def main():
     # falsifiable headroom bound.  train_hbm_util = (bytes a perfect
     # schedule of the AS-SHIPPED program must move / step time) / peak;
     # train_hbm_util_floor uses the full-remat state-only floor.
-    mb = train_min_bytes(params, opt_state)
+    fused = jax.default_backend() == "tpu"   # model.fused_tower auto
+    mb = train_min_bytes(params, opt_state, fused_tower=fused)
     detail["train_min_bytes_floor_mb"] = round(mb["floor"] / 1e6, 1)
     detail["train_min_bytes_asshipped_mb"] = round(
         mb["asshipped"] / 1e6, 1)
@@ -439,11 +444,13 @@ def main():
     if conv:
         detail["ml1m_scale_leave_one_out"] = conv
     try:
-        # latest big-vocab (precompute-OFF) regime record, if present
+        # big-vocab (precompute-OFF) regime RECORD: the largest-entity
+        # run on file (small CPU-mesh correctness runs also append here)
         with open("results/bigvocab_summary.jsonl") as f:
             rows = [json.loads(line) for line in f if line.strip()]
         if rows:
-            detail["bigvocab_regime"] = rows[-1]
+            detail["bigvocab_regime"] = max(
+                rows, key=lambda r: r.get("users", 0) + r.get("items", 0))
     except OSError:
         pass
 

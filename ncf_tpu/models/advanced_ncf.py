@@ -203,6 +203,39 @@ def _use_vocab_precompute(cfg: ModelConfig, batch_rows: int) -> bool:
     return cfg.num_items + cfg.num_users <= 4 * batch_rows
 
 
+def _tower(layers, x, cfg: ModelConfig, rng, deterministic: bool, dtype):
+    """MLP tower call with the round-4 roofline knobs:
+
+    ``cfg.fused_tower`` ("auto"/"on") routes through the single fused
+    Pallas kernel per direction (ops/pallas_tower.py — activations stay
+    in VMEM, recompute backward); ``cfg.remat_tower`` wraps the XLA
+    layers in jax.checkpoint (measured and rejected, BENCH_NOTES
+    round 4).  Default: plain XLA layers."""
+    mode = getattr(cfg, "fused_tower", "off")
+    if mode in ("auto", "on"):
+        from ncf_tpu.ops.pallas_tower import fused_tower, tower_fits
+
+        fits = tower_fits(layers, x.shape[-1])
+        # auto: TPU backend, bf16 activations (the kernel's matmul
+        # dtype — f32 compute_dtype keeps the XLA stack), shape fits.
+        # NOTE sharded training sets fused_tower off in the Trainer: a
+        # pallas_call does not partition under pjit.
+        auto_ok = (fits and jax.default_backend() == "tpu"
+                   and x.dtype == jnp.bfloat16)
+        if mode == "on" or auto_ok:
+            if not fits:
+                raise ValueError(
+                    f"fused_tower=on but tower shape does not fit "
+                    f"(in_dim={x.shape[-1]})")
+            return fused_tower(layers, x, cfg.dropout, rng, deterministic)
+    if getattr(cfg, "remat_tower", False) and not deterministic:
+        fn = jax.checkpoint(
+            lambda p, xx, r: mlp_tower(p, xx, cfg.dropout, r,
+                                       deterministic, dtype))
+        return fn(layers, x, rng)
+    return mlp_tower(layers, x, cfg.dropout, rng, deterministic, dtype)
+
+
 # ---------------------------------------------------------------- forward
 
 def apply(
@@ -356,8 +389,8 @@ def apply(
             parts.append(seq_vec.astype(dtype))
         parts.append(t_vec.astype(dtype))
         combined = jnp.concatenate(parts, axis=-1)
-        mlp_vec = mlp_tower(params["mlp"], combined, cfg.dropout,
-                            rngs.get("mlp"), deterministic, dtype)
+        mlp_vec = _tower(params["mlp"], combined, cfg, rngs.get("mlp"),
+                         deterministic, dtype)
         mlp_pred = dense(params["mlp_out"], mlp_vec)              # [B, 1]
         mlp_pred = jnp.broadcast_to(mlp_pred[:, None, :], (B, S, 1))
     else:
@@ -371,8 +404,8 @@ def apply(
                 seq_vec[:, None, :], (B, S, cfg.mlp_dim)).astype(dtype))
         parts.append(t_b.astype(dtype))
         combined = jnp.concatenate(parts, axis=-1)
-        mlp_vec = mlp_tower(params["mlp"], combined, cfg.dropout,
-                            rngs.get("mlp"), deterministic, dtype)
+        mlp_vec = _tower(params["mlp"], combined, cfg, rngs.get("mlp"),
+                         deterministic, dtype)
         mlp_pred = dense(params["mlp_out"], mlp_vec)              # [B, S, 1]
 
     # ---- fusion: Linear(2,1)  (architecture.py:352-354; sigmoid deferred)

@@ -56,6 +56,16 @@ class Trainer:
         self.cfg = cfg
         self.model = get_model(cfg.model.name)
         self.mesh = mesh
+        if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+            # a pallas_call does not partition under pjit: the fused
+            # tower would force a gather onto one device
+            if cfg.model.fused_tower == "on":
+                raise ValueError(
+                    "model.fused_tower=on is incompatible with mesh "
+                    "training (pallas_call does not partition); use "
+                    "'auto' or 'off'")
+            if cfg.model.fused_tower == "auto":
+                cfg.model.fused_tower = "off"
 
         # ---- data: time-split for val loss + leave-one-out for ranking
         self.full = interactions

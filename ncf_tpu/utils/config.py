@@ -48,6 +48,19 @@ class ModelConfig:
     # optional path (attention over the user's recent items)
     use_sequence: bool = False
     history_len: int = 50       # reference LIMIT 50 (features.py:74)
+    # rematerialize the MLP tower in backward (jax.checkpoint): trades
+    # a second tower forward for not round-tripping its activations
+    # through HBM — measured A/B in BENCH_NOTES round 4 (rejected: +9%)
+    remat_tower: bool = False
+    # fused Pallas MLP tower (ops/pallas_tower.py): whole
+    # Linear->ReLU->LN->Dropout stack in one kernel per direction,
+    # recompute backward, on-core PRNG dropout.  Measured -6.2% step
+    # (joint) / -34% (independent), convergence-neutral (BENCH_NOTES
+    # round 4).  "auto" (default) = on TPU with bf16 activations when
+    # the shape fits, single-device (the Trainer forces "off" under a
+    # mesh — pallas_call does not partition under pjit); "on" forces
+    # (errors off-TPU); "off" = XLA layers.
+    fused_tower: str = "auto"
     causal_history: bool = False  # strictly-causal per-example train
     #                               contexts ([N, H] host table) instead of
     #                               the static per-user table (which leaks
@@ -370,6 +383,10 @@ class Config:
             raise ValueError(
                 f"mesh.embedding_exchange must be 'pjit' or 'explicit', "
                 f"got {self.mesh.embedding_exchange!r}")
+        if isinstance(self.mesh.enable, bool):
+            # YAML 1.1 coerces bare on/off to booleans (both in config
+            # files and dotted overrides); map them back
+            self.mesh.enable = "on" if self.mesh.enable else "off"
         if self.mesh.enable not in ("off", "auto", "on"):
             raise ValueError(
                 f"mesh.enable must be off | auto | on, "
@@ -378,6 +395,8 @@ class Config:
 
     def build_mesh(self):
         """Build the configured device mesh, or None (mesh.enable)."""
+        if isinstance(self.mesh.enable, bool):    # YAML on/off coercion
+            self.mesh.enable = "on" if self.mesh.enable else "off"
         if self.mesh.enable == "off":
             return None
         import jax
