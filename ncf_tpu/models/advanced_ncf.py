@@ -212,22 +212,27 @@ def _tower(layers, x, cfg: ModelConfig, rng, deterministic: bool, dtype):
     layers in jax.checkpoint (measured and rejected, BENCH_NOTES
     round 4).  Default: plain XLA layers."""
     mode = getattr(cfg, "fused_tower", "off")
-    if mode in ("auto", "on"):
+    if mode in ("auto", "on", "interpret"):
         from ncf_tpu.ops.pallas_tower import fused_tower, tower_fits
 
         fits = tower_fits(layers, x.shape[-1])
         # auto: TPU backend, bf16 activations (the kernel's matmul
         # dtype — f32 compute_dtype keeps the XLA stack), shape fits.
-        # NOTE sharded training sets fused_tower off in the Trainer: a
-        # pallas_call does not partition under pjit.
+        # Under a mesh the Trainer sets ``cfg._tower_mesh`` and the
+        # kernel runs inside shard_map over the batch axes (a bare
+        # pallas_call does not partition under pjit).
         auto_ok = (fits and jax.default_backend() == "tpu"
                    and x.dtype == jnp.bfloat16)
-        if mode == "on" or auto_ok:
+        if mode in ("on", "interpret") or auto_ok:
             if not fits:
                 raise ValueError(
                     f"fused_tower=on but tower shape does not fit "
                     f"(in_dim={x.shape[-1]})")
-            return fused_tower(layers, x, cfg.dropout, rng, deterministic)
+            # "interpret": CI-only — run the kernel in Pallas interpret
+            # mode so the CPU-mesh tests cover the full composed path
+            return fused_tower(layers, x, cfg.dropout, rng, deterministic,
+                               interpret=(mode == "interpret"),
+                               mesh=getattr(cfg, "_tower_mesh", None))
     if getattr(cfg, "remat_tower", False) and not deterministic:
         fn = jax.checkpoint(
             lambda p, xx, r: mlp_tower(p, xx, cfg.dropout, r,

@@ -227,11 +227,22 @@ def fused_tower(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     interpret: bool = False,
+    mesh=None,
+    batch_axes=None,
 ) -> jax.Array:
     """Drop-in fused replacement for ``models.layers.mlp_tower``.
 
     Differentiable (custom VJP; recompute backward).  Returns f32
     activations of the last layer, matching mlp_tower's output dtype.
+
+    ``mesh``/``batch_axes``: run the kernel under ``jax.shard_map`` with
+    rows split over the given mesh axes (default: all of them).  The
+    tower is purely row-parallel, so each device runs the same kernel on
+    its batch shard; parameter grads are ``psum``-reduced across the
+    batch axes in the manual backward (the multichip equivalent of the
+    data-parallel dense-grad all-reduce).  Dropout streams fold the
+    device's linear mesh index into the seed so shards draw distinct
+    masks, replayed identically by the recompute backward.
     """
     in_dim = x.shape[-1]
     dims_real, dims_pad = _dims(layers, in_dim)
@@ -244,17 +255,29 @@ def fused_tower(
     else:
         seed = jnp.zeros((1,), jnp.int32)
 
+    ndev = 1
+    if mesh is not None:
+        if batch_axes is None:
+            batch_axes = tuple(mesh.axis_names)
+        elif isinstance(batch_axes, str):
+            batch_axes = (batch_axes,)
+        for a in batch_axes:
+            ndev *= mesh.shape[a]
+        if ndev == 1:
+            mesh = None                    # trivial mesh: plain path
+
     lead_shape = x.shape[:-1]
     n = 1
     for s in lead_shape:
         n *= s
     x2 = x.reshape(n, in_dim)
-    npad = _round_up(max(n, _ROW_TILE), _ROW_TILE)
+    npad = _round_up(max(n, ndev * _ROW_TILE), ndev * _ROW_TILE)
+    rows_local = npad // ndev
     x_pad = jnp.zeros((npad, dims_pad[0]), jnp.bfloat16)
     x_pad = x_pad.at[:n, :in_dim].set(x2.astype(jnp.bfloat16))
     packed = _pack_params(layers, dims_pad)
 
-    grid = (npad // _ROW_TILE,)
+    grid = (rows_local // _ROW_TILE,)
     vec_spec = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM)
     mat_spec = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -268,38 +291,41 @@ def fused_tower(
                         vec_spec(dims_pad[i + 1]),
                         vec_spec(dims_pad[i + 1])]
 
-    flops_fwd = 2 * npad * sum(
+    flops_fwd = 2 * rows_local * sum(
         dims_pad[i] * dims_pad[i + 1] for i in range(n_layers))
 
-    @jax.custom_vjp
-    def _run(packed, x_pad, seed):
+    def _dev_seed(seed):
+        """Per-device dropout seed: fold the linear mesh index in so
+        shards draw distinct PRNG streams (fwd and bwd derive it the
+        same way, keeping the recompute masks bit-identical)."""
+        idx = jnp.int32(0)
+        for a in batch_axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        return seed + idx
+
+    def _pallas_fwd(seed, x_loc, *packed):
         kernel = _make_fwd_kernel(dims_pad, dims_real, keep, use_dropout,
                                   _ROW_TILE, n_layers)
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       row_spec(dims_pad[0])] + param_specs,
             out_specs=row_spec(dims_pad[-1]),
-            out_shape=jax.ShapeDtypeStruct((npad, dims_pad[-1]),
+            out_shape=jax.ShapeDtypeStruct((rows_local, dims_pad[-1]),
                                            jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=flops_fwd,
-                bytes_accessed=npad * (dims_pad[0] + dims_pad[-1]) * 2,
-                transcendentals=npad,
+                bytes_accessed=rows_local * (dims_pad[0] + dims_pad[-1]) * 2,
+                transcendentals=rows_local,
             ),
             interpret=interpret,
-        )(seed, x_pad, *packed)
-        return out
+        )(seed, x_loc, *packed)
 
-    def _run_fwd(packed, x_pad, seed):
-        return _run(packed, x_pad, seed), (packed, x_pad, seed)
-
-    def _run_bwd(res, dy):
-        packed, x_pad, seed = res
+    def _pallas_bwd(seed, x_loc, dy_loc, *packed):
         kernel = _make_bwd_kernel(dims_pad, dims_real, keep, use_dropout,
                                   _ROW_TILE, n_layers)
-        out_shapes = [jax.ShapeDtypeStruct((npad, dims_pad[0]),
+        out_shapes = [jax.ShapeDtypeStruct((rows_local, dims_pad[0]),
                                            jnp.bfloat16)]
         out_specs = [row_spec(dims_pad[0])]
         scratches = []
@@ -315,7 +341,7 @@ def fused_tower(
                           pltpu.VMEM((1, dout), jnp.float32),
                           pltpu.VMEM((1, dout), jnp.float32),
                           pltpu.VMEM((1, dout), jnp.float32)]
-        outs = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -326,11 +352,55 @@ def fused_tower(
             scratch_shapes=scratches,
             cost_estimate=pl.CostEstimate(
                 flops=3 * flops_fwd,
-                bytes_accessed=npad * (2 * dims_pad[0] + dims_pad[-1]) * 2,
-                transcendentals=npad,
+                bytes_accessed=rows_local * (2 * dims_pad[0]
+                                             + dims_pad[-1]) * 2,
+                transcendentals=rows_local,
             ),
             interpret=interpret,
-        )(seed, x_pad, dy.astype(jnp.float32), *packed)
+        )(seed, x_loc, dy_loc, *packed)
+
+    from jax.sharding import PartitionSpec as P  # local: keep import light
+
+    @jax.custom_vjp
+    def _run(packed, x_pad, seed):
+        if mesh is None:
+            return _pallas_fwd(seed, x_pad, *packed)
+
+        def local_fwd(seed, x_loc, *pk):
+            return _pallas_fwd(_dev_seed(seed), x_loc, *pk)
+
+        fn = jax.shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(P(), P(batch_axes, None))
+            + tuple(P(None, None) for _ in packed),
+            out_specs=P(batch_axes, None),
+            check_vma=False)
+        return fn(seed, x_pad, *packed)
+
+    def _run_fwd(packed, x_pad, seed):
+        return _run(packed, x_pad, seed), (packed, x_pad, seed)
+
+    def _run_bwd(res, dy):
+        packed, x_pad, seed = res
+        dy = dy.astype(jnp.float32)
+        if mesh is None:
+            outs = _pallas_bwd(seed, x_pad, dy, *packed)
+        else:
+            def local_bwd(seed, x_loc, dy_loc, *pk):
+                o = _pallas_bwd(_dev_seed(seed), x_loc, dy_loc, *pk)
+                # dx stays row-sharded; param grads are partial sums over
+                # the local rows -> reduce across the batch axes
+                return (o[0],) + tuple(
+                    jax.lax.psum(g, batch_axes) for g in o[1:])
+
+            fn = jax.shard_map(
+                local_bwd, mesh=mesh,
+                in_specs=(P(), P(batch_axes, None), P(batch_axes, None))
+                + tuple(P(None, None) for _ in packed),
+                out_specs=(P(batch_axes, None),)
+                + tuple(P(None, None) for _ in range(4 * n_layers)),
+                check_vma=False)
+            outs = fn(seed, x_pad, dy, *packed)
         dx_pad = outs[0]
         return tuple(outs[1:]), dx_pad, None
 

@@ -57,15 +57,11 @@ class Trainer:
         self.model = get_model(cfg.model.name)
         self.mesh = mesh
         if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
-            # a pallas_call does not partition under pjit: the fused
-            # tower would force a gather onto one device
-            if cfg.model.fused_tower == "on":
-                raise ValueError(
-                    "model.fused_tower=on is incompatible with mesh "
-                    "training (pallas_call does not partition); use "
-                    "'auto' or 'off'")
-            if cfg.model.fused_tower == "auto":
-                cfg.model.fused_tower = "off"
+            # a bare pallas_call does not partition under pjit; the
+            # fused tower runs inside shard_map over the batch axes
+            # (param grads psum'd) when the model sees the mesh
+            if cfg.model.fused_tower in ("auto", "on", "interpret"):
+                cfg.model._tower_mesh = mesh
 
         # ---- data: time-split for val loss + leave-one-out for ranking
         self.full = interactions

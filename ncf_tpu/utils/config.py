@@ -57,9 +57,11 @@ class ModelConfig:
     # recompute backward, on-core PRNG dropout.  Measured -6.2% step
     # (joint) / -34% (independent), convergence-neutral (BENCH_NOTES
     # round 4).  "auto" (default) = on TPU with bf16 activations when
-    # the shape fits, single-device (the Trainer forces "off" under a
-    # mesh — pallas_call does not partition under pjit); "on" forces
-    # (errors off-TPU); "off" = XLA layers.
+    # the shape fits; under a mesh the Trainer routes the kernel through
+    # jax.shard_map over the batch axes (param grads psum'd) since a
+    # bare pallas_call does not partition under pjit.  "on" forces
+    # (errors off-TPU); "interpret" = CI-only Pallas interpret mode;
+    # "off" = XLA layers.
     fused_tower: str = "auto"
     causal_history: bool = False  # strictly-causal per-example train
     #                               contexts ([N, H] host table) instead of

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--negative-sampling", default="iid",
                     choices=["iid", "stratified"])
     ap.add_argument("--early-stopping-metric", default="val_loss")
+    ap.add_argument("--use-sequence", action="store_true",
+                    help="wire the 50-item history sequence path "
+                         "(configs/advanced_ncf_sequence.yaml semantics)")
     ap.add_argument("--patience", type=int, default=8)
     ap.add_argument("--metrics-file", required=True)
     ap.add_argument("--checkpoint-dir", default="")
@@ -62,6 +65,9 @@ def main():
     cfg.model.negative_samples = 4
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.candidate_mode = args.candidate_mode
+    if args.use_sequence:
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 50
     cfg.data.validation_days = 10
     cfg.data.num_eval_negatives = 100
     cfg.train.batch_size = 16384
