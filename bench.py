@@ -90,13 +90,26 @@ def build(steps_per_dispatch: int = STEPS_PER_DISPATCH, **model_overrides):
     from ncf_tpu.data.sampler import make_sampling_cdf
     neg_cdf = make_sampling_cdf(1.0 / counts)
 
+    user_history = None
+    if getattr(cfg.model, "use_sequence", False):
+        # static per-user history table at realistic fill (~uniform
+        # lengths 1..H, newest-first padding with -1) — the shape the
+        # Trainer feeds from Interactions.recent_history
+        H = cfg.model.history_len
+        hist = rng_np.integers(0, NUM_ITEMS, (NUM_USERS, H)).astype(np.int32)
+        lens = rng_np.integers(1, H + 1, NUM_USERS)
+        hist[np.arange(H)[None, :] >= lens[:, None]] = -1
+        user_history = jnp.asarray(hist)
+
     if steps_per_dispatch > 1:
         train_step = make_multi_train_step(
-            model, cfg, optimizer, neg_cdf, item_dept, item_cat)
+            model, cfg, optimizer, neg_cdf, item_dept, item_cat,
+            user_history)
         lead = (steps_per_dispatch, BATCH)
     else:
         train_step = make_train_step(
-            model, cfg, optimizer, neg_cdf, item_dept, item_cat)
+            model, cfg, optimizer, neg_cdf, item_dept, item_cat,
+            user_history)
         lead = (BATCH,)
 
     batch = {

@@ -144,12 +144,33 @@ def _single_query_attention(
     computed once (Sq=1): softmax_j(q.k_j/sqrt(hd)) pooled over candidate
     values, per head.  Returns [B, D] — identical for every slot, exactly
     as architecture.py:315-326 produces."""
-    B, S, D = item_mlp.shape
-    H = num_heads
-    hd = D // H
     q = dense(p["q"], user_mlp, dtype)                       # [B, D]
     k = dense(p["k"], item_mlp, dtype)                       # [B, S, D]
     v = dense(p["v"], item_mlp, dtype)                       # [B, S, D]
+    return _sqa_core(p, q, k, v, num_heads, dropout_rate, rng,
+                     deterministic, dtype, key_mask)
+
+
+def _sqa_core(
+    p: Params,
+    q: jax.Array,          # [B, D] projected query
+    k: jax.Array,          # [B, S, D] projected keys
+    v: jax.Array,          # [B, S, D] projected values
+    num_heads: int,
+    dropout_rate: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+    dtype,
+    key_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Post-projection half of ``_single_query_attention`` — split out so
+    the sequence path can gather PRE-PROJECTED K/V rows from per-table
+    projections (K/V are pointwise in the key row, so projecting the
+    vocabulary table once and gathering beats projecting every one of
+    the B*H history occurrences; see the sequence branch of ``apply``)."""
+    B, S, D = k.shape
+    H = num_heads
+    hd = D // H
     # per-head scores without transposes: [B, S, H]
     scores = (q[:, None, :] * k).reshape(B, S, H, hd).sum(-1) / math.sqrt(hd)
     scores = scores.astype(jnp.float32)
@@ -348,7 +369,30 @@ def apply(
             hmask = history >= 0
             hsafe = jnp.maximum(history, 0)
             if vocab:
-                seq_emb = embedding_lookup(item_t, hsafe)[..., dmf:]
+                # K/V are pointwise per key row: project the (LN'd +
+                # hierarchy) item table ONCE [V, dm] per matrix and
+                # gather projected rows, instead of projecting all B*H
+                # gathered occurrences — drops the 2*B*H*dm^2 projection
+                # FLOPs (which exceed the whole rest of the step at
+                # H=50) for a 2*V*dm^2 table pass.  K and V concat into
+                # ONE [V, 2dm] table so the occurrence gather issues a
+                # single row per (example, history slot): TPU gathers
+                # are row-issue-rate bound (~30 ns/row measured at 62k
+                # items — see BENCH_NOTES round 4), so one 2dm-wide
+                # gather strictly beats two dm-wide ones.
+                sa = params["sequence_attn"]
+                item_seq_t = item_t[:, dmf:]
+                kv_t = jnp.concatenate([
+                    dense(sa["k"], item_seq_t, dtype),
+                    dense(sa["v"], item_seq_t, dtype)],
+                    axis=-1).astype(dtype)                   # [V, 2dm]
+                kv = embedding_lookup(kv_t, hsafe)           # [B, H, 2dm]
+                seq_k = kv[..., :cfg.mlp_dim]
+                seq_v = kv[..., cfg.mlp_dim:]
+                seq_q = dense(sa["q"], user_mlp, dtype)
+                seq_vec = _sqa_core(
+                    sa, seq_q, seq_k, seq_v, cfg.num_heads, cfg.dropout,
+                    rngs.get("seq"), deterministic, dtype, key_mask=hmask)
             else:
                 seq_emb = layer_norm(
                     params["mlp_norm"],
@@ -363,10 +407,10 @@ def apply(
                         item_cat[hsafe].reshape(-1),
                         cfg.dropout, rngs.get("cat"), deterministic, dtype)
                     seq_emb = seq_emb + seq_hier.reshape(seq_emb.shape)
-            seq_vec = _single_query_attention(
-                params["sequence_attn"], user_mlp, seq_emb, cfg.num_heads,
-                cfg.dropout, rngs.get("seq"), deterministic, dtype,
-                key_mask=hmask)                              # [B, dm]
+                seq_vec = _single_query_attention(
+                    params["sequence_attn"], user_mlp, seq_emb,
+                    cfg.num_heads, cfg.dropout, rngs.get("seq"),
+                    deterministic, dtype, key_mask=hmask)    # [B, dm]
         else:
             seq_vec = jnp.zeros((B, cfg.mlp_dim), jnp.float32)
 

@@ -8,7 +8,8 @@ from ncf_tpu.serving.export import (
     load_embeddings_jsonl,
 )
 from ncf_tpu.serving.features import FeatureProcessor, FeatureStore
-from ncf_tpu.serving.scorer import AdvancedNCFScorer, BruteForceScorer
+from ncf_tpu.serving.scorer import (AdvancedNCFScorer, BruteForceScorer,
+                                    SequenceRescoreScorer)
 from ncf_tpu.serving.server import ModelServer
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "FeatureStore",
     "AdvancedNCFScorer",
     "BruteForceScorer",
+    "SequenceRescoreScorer",
     "ModelServer",
     "export_product_embeddings",
     "export_user_embeddings",

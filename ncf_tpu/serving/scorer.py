@@ -104,6 +104,10 @@ class AdvancedNCFScorer:
         self._bias_cache: Dict[Tuple, jax.Array] = {}
         self._prepared_cache: Dict[Tuple, PreparedItems] = {}
         self._bias_cache_size = bias_cache_size
+        # sequence-context vector [dm] concatenated into the eval tower
+        # input when set (SequenceRescoreScorer's stage-1 centering);
+        # None for the base scorer (non-sequence models)
+        self._seq_ctx: Optional[jax.Array] = None
         self.refresh(params)
 
     # ------------------------------------------------------------ tables
@@ -187,8 +191,12 @@ class AdvancedNCFScorer:
         else:
             t_vec = jnp.zeros((I, cfg.temporal_dim), jnp.float32)
 
-        combined = jnp.concatenate(
-            [attn.astype(dtype), t_vec.astype(dtype)], axis=-1)
+        parts = [attn.astype(dtype)]
+        if self._seq_ctx is not None:
+            parts.append(jnp.broadcast_to(
+                self._seq_ctx[None, :], (I, self.cfg.mlp_dim)).astype(dtype))
+        parts.append(t_vec.astype(dtype))
+        combined = jnp.concatenate(parts, axis=-1)
         mlp_vec = mlp_tower(params["mlp"], combined, dtype=dtype)
         return dense(params["mlp_out"], mlp_vec)[:, 0]         # [I] f32
 
@@ -246,8 +254,12 @@ class AdvancedNCFScorer:
         t_vec = jnp.broadcast_to(
             params["temporal"]["hour"][hour][None, :],
             (I, cfg.temporal_dim))
-        combined = jnp.concatenate(
-            [attn.astype(dtype), t_vec.astype(dtype)], axis=-1)
+        parts = [attn.astype(dtype)]
+        if self._seq_ctx is not None:
+            parts.append(jnp.broadcast_to(
+                self._seq_ctx[None, :], (I, cfg.mlp_dim)).astype(dtype))
+        parts.append(t_vec.astype(dtype))
+        combined = jnp.concatenate(parts, axis=-1)
         mlp_vec = mlp_tower(params["mlp"], combined, dtype=dtype)
         mlp_pred = dense(params["mlp_out"], mlp_vec)[:, 0]
         if len(self._bias_cache) >= self._bias_cache_size:
@@ -364,6 +376,141 @@ class AdvancedNCFScorer:
                         jnp.asarray(item_ids, jnp.int32))
         logits = jnp.einsum("bd,bd->b", q, v) + bias
         return np.asarray(jax.nn.sigmoid(logits))
+
+
+class SequenceRescoreScorer(AdvancedNCFScorer):
+    """Two-stage retrieval for ``use_sequence`` AdvancedNCF models.
+
+    The sequence path makes the eval MLP logit user-dependent (the
+    user's history vector feeds the tower), which breaks the exact
+    ``q_u . v_i + b_i(t)`` decomposition — exact retrieval would be a
+    full-model scan over the catalog (BruteForceScorer).  This scorer
+    mirrors the reference's own retrieve-then-rescore serving shape
+    (ANN candidates + full-model rescore, routes.py:59-67) on-chip:
+
+    - **stage 1**: streaming-kernel candidate generation with the item
+      bias table evaluated at a *population-mean sequence context*
+      (sampled at refresh; the tower was trained on real sequence
+      inputs, so centering keeps it on-manifold, unlike zeroing), at
+      the base scorer's full speed;
+    - **stage 2**: EXACT full-model rescoring of the fetched
+      candidates with each user's real history
+      (``score_candidates(..., history=...)``); top-k of exact logits,
+      so returned scores are always true model scores.
+
+    Recall vs the exact scan is set by the stage-1 over-fetch width
+    ``candidates`` (default fills the streaming kernel's merge budget);
+    the measured ladder lives in results/seq_rescore_recall.jsonl.
+    ``topk_for_users_hourly`` inherits stage 1 only (the hour-demo
+    scoring path has no sequence term to rescore with).
+    """
+
+    def __init__(self, params, cfg: ModelConfig,
+                 item_dept=None, item_cat=None, user_history=None,
+                 candidates: int = 54, sample_users: int = 8192, **kw):
+        self.user_history = (jnp.asarray(user_history, jnp.int32)
+                             if user_history is not None else None)
+        self._seq_candidates = candidates
+        self._seq_sample = sample_users
+        self._rescore_jit = None
+        super().__init__(params, cfg, item_dept, item_cat, **kw)
+
+    # ------------------------------------------------------------ context
+
+    def _mean_seq_context(self, params) -> jax.Array:
+        cfg = self.cfg
+        hist = self.user_history
+        if hist is None or "sequence_attn" not in params:
+            return jnp.zeros((cfg.mlp_dim,), jnp.float32)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        U = hist.shape[0]
+        n = min(self._seq_sample, U)
+        idx = jnp.asarray(np.random.default_rng(0).choice(
+            U, size=n, replace=False), jnp.int32)
+        user_mlp = layer_norm(
+            params["mlp_norm"],
+            jnp.take(params["user_emb"], idx, axis=0)[:, cfg.mf_dim:])
+        h = jnp.take(hist, idx, axis=0)
+        mask = h >= 0
+        hsafe = jnp.maximum(h, 0)
+        item_mlp = layer_norm(params["mlp_norm"],
+                              params["item_emb"][:, cfg.mf_dim:])
+        if (cfg.use_category and self.item_dept is not None
+                and "category" in params):
+            item_mlp = item_mlp + advanced_ncf._hierarchy_table(
+                params["category"], self.item_dept, self.item_cat,
+                0.0, None, True, dtype)
+        seq_emb = jnp.take(item_mlp.astype(dtype), hsafe, axis=0)
+        seq_vec = advanced_ncf._single_query_attention(
+            params["sequence_attn"], user_mlp, seq_emb, cfg.num_heads,
+            0.0, None, True, dtype, key_mask=mask)
+        return jnp.mean(seq_vec.astype(jnp.float32), axis=0)
+
+    def refresh(self, params) -> None:
+        super().refresh(params)
+        # caches are empty after super(); biases built lazily will see
+        # the new context
+        self._seq_ctx = self._mean_seq_context(params)
+        self._rescore_jit = None
+
+    # ------------------------------------------------------------ rescore
+
+    def _seq_rescore(self, user_ids: jax.Array, cand: jax.Array,
+                     temporal: Optional[Dict[str, int]]) -> jax.Array:
+        """Exact logits [B, C] for fetched candidates, real history."""
+        if self._rescore_jit is None:
+            cfg = self.cfg
+
+            def fn(params, user_ids, cand, temporal, dept, cat, hist):
+                kwargs = {}
+                if hist is not None:
+                    kwargs["history"] = jnp.take(hist, user_ids, axis=0)
+                return advanced_ncf.score_candidates(
+                    params, cfg, user_ids, cand, temporal, dept, cat,
+                    **kwargs)
+
+            self._rescore_jit = jax.jit(fn)
+        t = None
+        if temporal is not None:
+            B = user_ids.shape[0]
+            t = {key: jnp.full((B,), int(temporal.get(key, 0)), jnp.int32)
+                 for key in ("hour", "day", "month", "day_of_year")}
+        return self._rescore_jit(self.params, user_ids, cand, t,
+                                 self.item_dept, self.item_cat,
+                                 self.user_history)
+
+    def topk_for_users(
+        self,
+        user_ids,
+        k: int = 10,
+        temporal: Optional[Dict[str, int]] = None,
+        exclude: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        user_ids = jnp.asarray(user_ids, jnp.int32)
+        I = self.cfg.num_items
+        fetch = min(I, max(k + self._seq_candidates,
+                           k + (exclude.shape[1] if exclude is not None
+                                else 0)))
+        # stage 1: candidate ids from the centered decomposition
+        _, cand = super().topk_for_users(user_ids, k=fetch,
+                                         temporal=temporal)
+        # stage 2: exact rescoring with real histories
+        cand_j = jnp.asarray(cand, jnp.int32)
+        logits = np.asarray(self._seq_rescore(user_ids, cand_j, temporal))
+        order = np.argsort(-logits, axis=1, kind="stable")
+        vals = np.take_along_axis(logits, order, axis=1)
+        idxs = np.take_along_axis(cand, order, axis=1)
+        if exclude is not None:
+            vals, idxs = _filter_excluded(vals, idxs, exclude, k)
+        return _sigmoid(vals[:, :k]), idxs[:, :k]
+
+    def score_pairs(self, user_ids, item_ids,
+                    temporal: Optional[Dict[str, int]] = None) -> np.ndarray:
+        """Exact pair scores including the sequence term."""
+        user_ids = jnp.asarray(np.atleast_1d(user_ids), jnp.int32)
+        item_ids = jnp.asarray(np.atleast_1d(item_ids), jnp.int32)
+        logits = self._seq_rescore(user_ids, item_ids[:, None], temporal)
+        return np.asarray(jax.nn.sigmoid(logits[:, 0]))
 
 
 def _filter_excluded(vals: np.ndarray, idxs: np.ndarray,

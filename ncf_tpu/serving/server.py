@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ncf_tpu.models import get_model
-from ncf_tpu.serving.scorer import AdvancedNCFScorer, BruteForceScorer
+from ncf_tpu.serving.scorer import (AdvancedNCFScorer, BruteForceScorer,
+                                    SequenceRescoreScorer)
 from ncf_tpu.train import checkpoint as ckpt_lib
 from ncf_tpu.utils.config import Config
 
@@ -257,12 +258,22 @@ class ModelServer:
             self.params = params
             # the dot-product decomposition requires a user-independent
             # eval MLP path; the sequence path breaks that, so sequence
-            # models serve through the model-agnostic scorer
-            if (self.cfg.model.name == "advanced_ncf"
-                    and not self.cfg.model.use_sequence):
-                self.scorer = AdvancedNCFScorer(
-                    params, self.cfg.model, self.item_dept, self.item_cat,
-                    retrieval=self.cfg.serving.retrieval)
+            # models serve through the two-stage retrieve+rescore scorer
+            # (centered stage-1 candidates at full kernel speed, exact
+            # full-model rescore with real histories)
+            if self.cfg.model.name == "advanced_ncf":
+                if self.cfg.model.use_sequence:
+                    self.scorer = SequenceRescoreScorer(
+                        params, self.cfg.model, self.item_dept,
+                        self.item_cat, user_history=self.user_history,
+                        candidates=getattr(
+                            self.cfg.serving, "seq_rescore_candidates", 54),
+                        retrieval=self.cfg.serving.retrieval)
+                else:
+                    self.scorer = AdvancedNCFScorer(
+                        params, self.cfg.model, self.item_dept,
+                        self.item_cat,
+                        retrieval=self.cfg.serving.retrieval)
             else:
                 self.scorer = BruteForceScorer(
                     self.model, params, self.cfg.model,

@@ -276,6 +276,10 @@ class ServingConfig:
     # ~0.966, dequantized scores, ~2.7x) — see
     # serving.scorer.AdvancedNCFScorer
     retrieval: str = "exact"
+    # use_sequence models: stage-1 over-fetch width for the two-stage
+    # retrieve+rescore scorer (serving.scorer.SequenceRescoreScorer);
+    # k + candidates <= 64 keeps stage 1 on the streaming kernel
+    seq_rescore_candidates: int = 54
 
 
 @dataclass

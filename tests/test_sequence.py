@@ -199,3 +199,40 @@ class TestCausalHistory:
         assert "history" in next(t.train_iter.epoch(0))
         m = t.train()
         assert np.isfinite(m["val_loss"])
+
+
+class TestTableProjectedKV:
+    """The vocab-regime sequence path gathers PRE-PROJECTED K/V rows
+    from per-table projections; must equal the per-occurrence
+    projection formulation (K/V are pointwise in the key row)."""
+
+    def test_matches_per_occurrence_projection(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ncf_tpu.models.advanced_ncf import (_single_query_attention,
+                                                 _sqa_core)
+        from ncf_tpu.models.layers import dense, mha_init
+
+        rng = np.random.default_rng(3)
+        D, V, B, H = 16, 30, 12, 7
+        p = mha_init(jax.random.PRNGKey(0), D)
+        table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+        user = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        hist = rng.integers(0, V, (B, H)).astype(np.int32)
+        hist[rng.random((B, H)) < 0.3] = -1
+        hist[3, :] = -1                       # one fully-padded row
+        hist = jnp.asarray(hist)
+        mask = hist >= 0
+        hsafe = jnp.maximum(hist, 0)
+
+        ref = _single_query_attention(
+            p, user, table[hsafe], 4, 0.0, None, True, jnp.float32,
+            key_mask=mask)
+        new = _sqa_core(
+            p, dense(p["q"], user, jnp.float32),
+            dense(p["k"], table, jnp.float32)[hsafe],
+            dense(p["v"], table, jnp.float32)[hsafe],
+            4, 0.0, None, True, jnp.float32, key_mask=mask)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                                   rtol=1e-5, atol=1e-6)

@@ -13,6 +13,7 @@ from ncf_tpu.models import advanced_ncf, get_model
 from ncf_tpu.serving import (
     AdvancedNCFScorer,
     BruteForceScorer,
+    SequenceRescoreScorer,
     FeatureCache,
     FeatureProcessor,
     FeatureStore,
@@ -549,3 +550,119 @@ class TestFeatureCacheRedisBranch:
         fake2.fail = True
         cache2.set_features("again", {})
         assert cache2._redis is fake2            # counter restarted
+
+
+class TestSequenceRescoreScorer:
+    """Two-stage serving for use_sequence models: stage-1 candidates
+    from the centered decomposition, stage-2 EXACT full-model rescore
+    with real histories (serving/scorer.py::SequenceRescoreScorer)."""
+
+    @pytest.fixture(scope="class")
+    def seq_setup(self):
+        inter = generate_interactions(num_users=120, num_items=60,
+                                      num_days=30, avg_txns_per_user=12,
+                                      seed=4)
+        cfg = Config()
+        cfg.model.num_users = inter.num_users
+        cfg.model.num_items = inter.num_items
+        cfg.model.num_departments = inter.num_departments
+        cfg.model.num_categories = inter.num_categories
+        cfg.model.mf_dim = 16
+        cfg.model.mlp_dim = 16
+        cfg.model.temporal_dim = 8
+        cfg.model.mlp_hidden_dims = [32, 16]
+        cfg.model.compute_dtype = "float32"
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 6
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg.model)
+        hist = inter.recent_history(6)
+        return inter, cfg, params, hist
+
+    def test_small_catalog_matches_brute_force_exactly(self, seq_setup):
+        """fetch >= catalog => stage 1 covers everything and the rescore
+        makes the result EXACT: ids and scores equal the full-model
+        scan."""
+        inter, cfg, params, hist = seq_setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        seq = SequenceRescoreScorer(params, cfg.model, dept, cat,
+                                    user_history=hist)
+        bf = BruteForceScorer(advanced_ncf, params, cfg.model, dept, cat,
+                              user_history=jnp.asarray(hist))
+        users = np.asarray([1, 5, 9, 44], np.int32)
+        t = {"hour": 9, "day": 2, "month": 5, "day_of_year": 140}
+        sv, si = seq.topk_for_users(users, k=10, temporal=t)
+        bv, bi = bf.topk_for_users(users, k=10, temporal=t)
+        np.testing.assert_array_equal(si, bi)
+        np.testing.assert_allclose(sv, bv, rtol=1e-5, atol=1e-6)
+
+    def test_scores_are_exact_model_scores(self, seq_setup):
+        """Whatever stage 1 fetched, the RETURNED scores are true model
+        scores for those ids (the exactness contract)."""
+        inter, cfg, params, hist = seq_setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        seq = SequenceRescoreScorer(params, cfg.model, dept, cat,
+                                    user_history=hist, candidates=5)
+        users = np.asarray([2, 17], np.int32)
+        t = {"hour": 3, "day": 1, "month": 2, "day_of_year": 40}
+        sv, si = seq.topk_for_users(users, k=4, temporal=t)
+        B = len(users)
+        t_arr = {k: jnp.full((B,), v, jnp.int32) for k, v in t.items()}
+        want = advanced_ncf.score_candidates(
+            params, cfg.model, jnp.asarray(users), jnp.asarray(si),
+            t_arr, dept, cat,
+            history=jnp.asarray(hist)[jnp.asarray(users)])
+        np.testing.assert_allclose(
+            sv, np.asarray(jax.nn.sigmoid(want)), rtol=1e-5, atol=1e-6)
+
+    def test_score_pairs_includes_sequence(self, seq_setup):
+        inter, cfg, params, hist = seq_setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        seq = SequenceRescoreScorer(params, cfg.model, dept, cat,
+                                    user_history=hist)
+        users = np.asarray([0, 3], np.int32)
+        items = np.asarray([7, 12], np.int32)
+        t = {"hour": 12, "day": 4, "month": 7, "day_of_year": 200}
+        got = seq.score_pairs(users, items, temporal=t)
+        t_arr = {k: jnp.full((2,), v, jnp.int32) for k, v in t.items()}
+        want = advanced_ncf.score_candidates(
+            params, cfg.model, jnp.asarray(users),
+            jnp.asarray(items)[:, None], t_arr, dept, cat,
+            history=jnp.asarray(hist)[jnp.asarray(users)])[:, 0]
+        np.testing.assert_allclose(
+            got, np.asarray(jax.nn.sigmoid(want)), rtol=1e-5, atol=1e-6)
+
+    def test_exclusion(self, seq_setup):
+        inter, cfg, params, hist = seq_setup
+        seq = SequenceRescoreScorer(
+            params, cfg.model, jnp.asarray(inter.item_dept),
+            jnp.asarray(inter.item_cat), user_history=hist)
+        users = np.asarray([8], np.int32)
+        _, base_ids = seq.topk_for_users(users, k=5)
+        exclude = base_ids[:, :2].astype(np.int32)
+        _, ids = seq.topk_for_users(users, k=5, exclude=exclude)
+        assert not set(exclude[0]).intersection(ids[0])
+
+    def test_server_routes_sequence_models(self, seq_setup):
+        inter, cfg, params, hist = seq_setup
+        cfg.serving.coalesce_requests = False
+        from ncf_tpu.serving.server import ModelServer
+        srv = ModelServer(cfg, params=params,
+                          item_dept=np.asarray(inter.item_dept),
+                          item_cat=np.asarray(inter.item_cat),
+                          user_history=np.asarray(hist))
+        assert isinstance(srv.scorer, SequenceRescoreScorer)
+        scores, items, ms = srv.recommend(5, k=4)
+        assert len(items) == 4
+        srv.close()
+
+    def test_centered_context_is_finite_and_nonzero(self, seq_setup):
+        inter, cfg, params, hist = seq_setup
+        seq = SequenceRescoreScorer(
+            params, cfg.model, jnp.asarray(inter.item_dept),
+            jnp.asarray(inter.item_cat), user_history=hist)
+        ctx = np.asarray(seq._seq_ctx)
+        assert ctx.shape == (cfg.model.mlp_dim,)
+        assert np.isfinite(ctx).all() and np.abs(ctx).sum() > 0
