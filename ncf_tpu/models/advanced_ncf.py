@@ -489,6 +489,7 @@ def score_items_with_hour(
     user_ids: jax.Array,      # [B]
     item_ids: jax.Array,      # [B]
     hour: Optional[jax.Array] = None,  # int32 [B]
+    history: Optional[jax.Array] = None,  # int32 [B, H] padded -1
 ) -> jax.Array:
     """``forward_simple`` analogue (architecture.py:409-485): hour-of-day
     modulates product embeddings multiplicatively by
@@ -520,7 +521,26 @@ def score_items_with_hour(
         t_vec = embedding_lookup(params["temporal"]["hour"], hour)
     else:
         t_vec = jnp.zeros((B, cfg.temporal_dim), jnp.float32)
-    combined = jnp.concatenate([attn.astype(dtype), t_vec.astype(dtype)], axis=-1)
+    parts = [attn.astype(dtype)]
+    if cfg.use_sequence:
+        # sequence models' tower expects the history slot; attend the
+        # user's recent items like apply does (zeros when no history is
+        # supplied — a well-formed, if uninformed, context)
+        if history is not None:
+            hmask = history >= 0
+            hsafe = jnp.maximum(history, 0)
+            user_mlp = layer_norm(params["mlp_norm"], user_full[:, dmf:])
+            seq_emb = layer_norm(
+                params["mlp_norm"],
+                embedding_lookup(params["item_emb"], hsafe)[..., dmf:])
+            seq_vec = _single_query_attention(
+                params["sequence_attn"], user_mlp, seq_emb, cfg.num_heads,
+                0.0, None, True, dtype, key_mask=hmask)
+        else:
+            seq_vec = jnp.zeros((B, cfg.mlp_dim), jnp.float32)
+        parts.append(seq_vec.astype(dtype))
+    parts.append(t_vec.astype(dtype))
+    combined = jnp.concatenate(parts, axis=-1)
     mlp_vec = mlp_tower(params["mlp"], combined, dtype=dtype)
     mlp_pred = dense(params["mlp_out"], mlp_vec)
 

@@ -71,11 +71,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-per-dispatch", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--use-sequence", action="store_true")
+    ap.add_argument("--candidate-mode", default="joint",
+                    choices=["joint", "independent"])
     args = ap.parse_args()
 
     import bench
 
-    train_step, params, opt_state, batch = bench.build(args.steps_per_dispatch)
+    overrides = {"candidate_mode": args.candidate_mode}
+    if args.use_sequence:
+        overrides["use_sequence"] = True
+    train_step, params, opt_state, batch = bench.build(
+        args.steps_per_dispatch, **overrides)
     rng = jax.random.PRNGKey(0)
 
     for _ in range(3):

@@ -236,3 +236,42 @@ class TestTableProjectedKV:
             4, 0.0, None, True, jnp.float32, key_mask=mask)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestHourlyWithSequence:
+    def test_score_items_with_hour_handles_sequence_models(self):
+        """forward_simple analogue must stay well-formed for
+        use_sequence models (the tower expects the history slot)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ncf_tpu.models import advanced_ncf
+        from ncf_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg.model.num_users = 40
+        cfg.model.num_items = 30
+        cfg.model.mf_dim = 16
+        cfg.model.mlp_dim = 16
+        cfg.model.temporal_dim = 16
+        cfg.model.mlp_hidden_dims = [32, 16]
+        cfg.model.compute_dtype = "float32"
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 5
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg.model)
+        users = jnp.arange(6, dtype=jnp.int32)
+        items = (jnp.arange(6, dtype=jnp.int32) * 3) % 30
+        hour = jnp.full((6,), 13, jnp.int32)
+        hist = jnp.asarray(
+            np.r_[np.random.default_rng(0).integers(0, 30, (6, 3)),
+                  ].astype(np.int32))
+        hist = jnp.concatenate(
+            [hist, jnp.full((6, 2), -1, jnp.int32)], axis=1)
+
+        no_hist = advanced_ncf.score_items_with_hour(
+            params, cfg.model, users, items, hour)
+        with_hist = advanced_ncf.score_items_with_hour(
+            params, cfg.model, users, items, hour, history=hist)
+        assert np.isfinite(np.asarray(no_hist)).all()
+        assert np.isfinite(np.asarray(with_hist)).all()
+        assert not np.allclose(np.asarray(no_hist), np.asarray(with_hist))
