@@ -26,6 +26,8 @@ by tests/test_serving.py.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -452,6 +454,35 @@ class SequenceRescoreScorer(AdvancedNCFScorer):
         # the new context
         self._seq_ctx = self._mean_seq_context(params)
         self._rescore_jit = None
+        self._fused = self._build_fused()
+
+    def _build_fused(self):
+        """ONE device dispatch for the whole two-stage query: stage-1
+        top-``fetch`` against the (prepared) table, exact full-model
+        rescoring of the candidates with real histories, on-device
+        exclusion masking, final top-k.  The previous two-dispatch +
+        host-argsort shape paid an extra device round trip per call —
+        under the serving harness that is a full tunnel RTT."""
+        cfg = self.cfg
+
+        @functools.partial(jax.jit,
+                           static_argnames=("k", "fetch", "seg_top"))
+        def fused(params, user_queries, items, bias, user_ids, t, dept,
+                  cat, hist, exclude, *, k, fetch, seg_top):
+            q = jnp.take(user_queries, user_ids, axis=0)
+            _, cand = topk_scores(q, items, fetch, bias, seg_top=seg_top)
+            kwargs = {}
+            if hist is not None:
+                kwargs["history"] = jnp.take(hist, user_ids, axis=0)
+            logits = advanced_ncf.score_candidates(
+                params, cfg, user_ids, cand, t, dept, cat, **kwargs)
+            if exclude is not None:
+                hit = (cand[:, :, None] == exclude[:, None, :]).any(-1)
+                logits = jnp.where(hit, -jnp.inf, logits)
+            v, sel = jax.lax.top_k(logits, min(k, fetch))
+            return v, jnp.take_along_axis(cand, sel, axis=1)
+
+        return fused
 
     # ------------------------------------------------------------ rescore
 
@@ -488,21 +519,28 @@ class SequenceRescoreScorer(AdvancedNCFScorer):
     ) -> Tuple[np.ndarray, np.ndarray]:
         user_ids = jnp.asarray(user_ids, jnp.int32)
         I = self.cfg.num_items
-        fetch = min(I, max(k + self._seq_candidates,
-                           k + (exclude.shape[1] if exclude is not None
-                                else 0)))
-        # stage 1: candidate ids from the centered decomposition
-        _, cand = super().topk_for_users(user_ids, k=fetch,
-                                         temporal=temporal)
-        # stage 2: exact rescoring with real histories
-        cand_j = jnp.asarray(cand, jnp.int32)
-        logits = np.asarray(self._seq_rescore(user_ids, cand_j, temporal))
-        order = np.argsort(-logits, axis=1, kind="stable")
-        vals = np.take_along_axis(logits, order, axis=1)
-        idxs = np.take_along_axis(cand, order, axis=1)
-        if exclude is not None:
-            vals, idxs = _filter_excluded(vals, idxs, exclude, k)
-        return _sigmoid(vals[:, :k]), idxs[:, :k]
+        fetch = int(min(I, max(k + self._seq_candidates,
+                               k + (exclude.shape[1]
+                                    if exclude is not None else 0))))
+        key = _context_key(temporal)
+        bias = self.item_bias(temporal)
+        prep = self._prepared(key, bias)
+        if prep is not None:
+            items, bias_arg = prep, None      # bias baked into the table
+        else:
+            items, bias_arg = self.item_vecs, bias
+        t = None
+        if temporal is not None:
+            B = user_ids.shape[0]
+            t = {kk: jnp.full((B,), int(temporal.get(kk, 0)), jnp.int32)
+                 for kk in ("hour", "day", "month", "day_of_year")}
+        excl = (jnp.asarray(exclude, jnp.int32)
+                if exclude is not None else None)
+        vals, idxs = self._fused(
+            self.params, self.user_queries, items, bias_arg, user_ids, t,
+            self.item_dept, self.item_cat, self.user_history, excl,
+            k=k, fetch=fetch, seg_top=self._seg_top)
+        return _sigmoid(np.asarray(vals)), np.asarray(idxs)
 
     def score_pairs(self, user_ids, item_ids,
                     temporal: Optional[Dict[str, int]] = None) -> np.ndarray:
