@@ -519,6 +519,18 @@ class SequenceRescoreScorer(AdvancedNCFScorer):
     ) -> Tuple[np.ndarray, np.ndarray]:
         user_ids = jnp.asarray(user_ids, jnp.int32)
         I = self.cfg.num_items
+        if exclude is not None:
+            # pad the exclusion width to a power-of-two bucket: request
+            # exclusion lists vary per call, and a fresh trace per
+            # distinct width means multi-second jit stalls under load
+            # (the coalescer-bucket lesson).  -1 never matches a
+            # candidate id.
+            w = max(1, int(exclude.shape[1]))
+            wpad = 1 << (w - 1).bit_length()
+            if wpad != w:
+                exclude = np.concatenate(
+                    [exclude, np.full((exclude.shape[0], wpad - w), -1,
+                                      exclude.dtype)], axis=1)
         fetch = int(min(I, max(k + self._seq_candidates,
                                k + (exclude.shape[1]
                                     if exclude is not None else 0))))

@@ -666,3 +666,19 @@ class TestSequenceRescoreScorer:
         ctx = np.asarray(seq._seq_ctx)
         assert ctx.shape == (cfg.model.mlp_dim,)
         assert np.isfinite(ctx).all() and np.abs(ctx).sum() > 0
+
+    def test_exclusion_width_buckets(self, seq_setup):
+        """Varying exclusion widths must map to a few power-of-two
+        traces (no per-width recompiles), and -1 padding never excludes
+        a real item."""
+        inter, cfg, params, hist = seq_setup
+        seq = SequenceRescoreScorer(
+            params, cfg.model, jnp.asarray(inter.item_dept),
+            jnp.asarray(inter.item_cat), user_history=hist)
+        users = np.asarray([8], np.int32)
+        _, base_ids = seq.topk_for_users(users, k=8)
+        for w in (1, 2, 3, 5, 7):
+            exclude = base_ids[:, :w].astype(np.int32)
+            _, ids = seq.topk_for_users(users, k=5, exclude=exclude)
+            assert not set(exclude[0]).intersection(ids[0]), w
+            assert (ids >= 0).all()
