@@ -36,6 +36,7 @@ from ncf_tpu.utils.config import Config, setup_logging
 
 def main():
     setup_logging("INFO")
+    use_sequence = "--use-sequence" in sys.argv
     cfg = Config()
     cfg.model.name = "advanced_ncf"
     cfg.model.mf_dim = 64
@@ -61,6 +62,15 @@ def main():
     cfg.train.checkpoint_dir = "results/ml25m_indep_ckpt"
     cfg.train.metrics_file = "results/ml25m_indep_metrics.jsonl"
     cfg.train.log_every_steps = 100
+    if use_sequence:
+        # the sequence path at REAL vocabulary scale (62k items): the
+        # 50-item history features on the big catalog, where the
+        # per-step cost is the B*H occurrence gather/scatter
+        # (BENCH_NOTES round-4 "table-projected K/V")
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 50
+        cfg.train.checkpoint_dir = "results/ml25m_indep_seq_ckpt"
+        cfg.train.metrics_file = "results/ml25m_indep_seq_metrics.jsonl"
 
     t0 = time.time()
     cache = "/tmp/ml25m_inter_seed0.npz"
