@@ -35,14 +35,27 @@ from ncf_tpu.utils.config import Config, setup_logging
 PORT = 18423
 
 
-def build_server(num_items: int, coalesce: bool) -> ModelServer:
+def build_server(num_items: int, coalesce: bool,
+                 sequence: bool = False) -> ModelServer:
     cfg = Config()
     cfg.model.num_users = 162_541
     cfg.model.num_items = num_items
     cfg.serving.coalesce_requests = coalesce
     model = get_model("advanced_ncf")
+    user_history = None
+    if sequence:
+        # the quality flagship's serving shape: two-stage
+        # retrieve+rescore through SequenceRescoreScorer with a
+        # realistic 50-item history table
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 50
+        rng = np.random.default_rng(0)
+        H, U = 50, cfg.model.num_users
+        user_history = rng.integers(0, num_items, (U, H)).astype(np.int32)
+        lens = rng.integers(1, H + 1, U)
+        user_history[np.arange(H)[None, :] >= lens[:, None]] = -1
     params = model.init(jax.random.PRNGKey(0), cfg.model)
-    return ModelServer(cfg, params)
+    return ModelServer(cfg, params, user_history=user_history)
 
 
 def run_load(port: int, clients: int, reqs_per_client: int, num_users: int):
@@ -100,12 +113,14 @@ def run_load(port: int, clients: int, reqs_per_client: int, num_users: int):
 
 def main():
     setup_logging("WARNING")
-    num_items = int(sys.argv[1]) if len(sys.argv) > 1 else 62_423
-    reqs = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    sequence = "--sequence" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    num_items = int(args[0]) if args else 62_423
+    reqs = int(args[1]) if len(args) > 1 else 200
     os.makedirs("results", exist_ok=True)
     rows = []
     for coalesce in (False, True):
-        server = build_server(num_items, coalesce)
+        server = build_server(num_items, coalesce, sequence=sequence)
         api = RecommendationAPI(server)
         port = PORT + int(coalesce)
         httpd = serve(api, "127.0.0.1", port, background=True)
@@ -117,7 +132,8 @@ def main():
             for clients in (1, 8, 64):
                 row = run_load(port, clients, reqs,
                                server.cfg.model.num_users)
-                row.update(coalesce=coalesce, num_items=num_items)
+                row.update(coalesce=coalesce, num_items=num_items,
+                           sequence=sequence)
                 if coalesce:
                     c = server._coalescer
                     row["avg_coalesced_batch"] = round(

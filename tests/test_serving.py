@@ -682,3 +682,21 @@ class TestSequenceRescoreScorer:
             _, ids = seq.topk_for_users(users, k=5, exclude=exclude)
             assert not set(exclude[0]).intersection(ids[0]), w
             assert (ids >= 0).all()
+
+    def test_without_history_table(self, seq_setup):
+        """A sequence model served with NO history table: zero context,
+        empty-history rescoring — still well-formed and exact vs the
+        model's own zero-history scores."""
+        inter, cfg, params, hist = seq_setup
+        dept = jnp.asarray(inter.item_dept)
+        cat = jnp.asarray(inter.item_cat)
+        seq = SequenceRescoreScorer(params, cfg.model, dept, cat,
+                                    user_history=None)
+        assert float(np.abs(np.asarray(seq._seq_ctx)).sum()) == 0.0
+        users = np.asarray([4, 9], np.int32)
+        sv, si = seq.topk_for_users(users, k=5)
+        want = advanced_ncf.score_candidates(
+            params, cfg.model, jnp.asarray(users), jnp.asarray(si),
+            None, dept, cat)
+        np.testing.assert_allclose(
+            sv, np.asarray(jax.nn.sigmoid(want)), rtol=1e-5, atol=1e-6)
