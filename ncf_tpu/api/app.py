@@ -187,9 +187,15 @@ class RecommendationAPI:
         # (the reference averages over its sampled customers)
         sample = np.arange(
             min(32, self.server.cfg.model.num_users), dtype=np.int32)
+        hist = None
+        if (self.server.user_history is not None
+                and self.server.cfg.model.use_sequence):
+            # sequence models: which recent items drove this user's
+            # recommendations (trained-attention explanations)
+            hist = np.asarray(self.server.user_history[uid])
         report = intelligence_report(
             self.server.params, self.server.cfg.model, uid,
-            scores, items, sample_users=sample)
+            scores, items, sample_users=sample, history=hist)
         return {
             "customer_id": req.customer_id,
             "hour": req.hour,

@@ -53,6 +53,43 @@ def attention_head_importance(
     return np.asarray(jnp.std(weights, axis=1).mean(axis=0))
 
 
+def history_attention_weights(
+    params,
+    cfg: ModelConfig,
+    user_ids: jax.Array,     # [B]
+    history: jax.Array,      # [B, H] recent item ids, padded -1
+) -> np.ndarray:
+    """Head-averaged attention weights [B, H] the sequence path places
+    on each of the user's recent items — grounding for "because you
+    bought X" explanations (the reference's explanation strings,
+    features.py:161-308, are templated; these come from the trained
+    model).  Padded slots get exactly 0.  Requires
+    ``cfg.use_sequence``."""
+    if "sequence_attn" not in params:
+        raise ValueError("model has no sequence_attn (use_sequence off)")
+    NH = cfg.num_heads
+    D = cfg.mlp_dim
+    hd = D // NH
+    dmf = cfg.mf_dim
+    mask = history >= 0
+    hsafe = jnp.maximum(history, 0)
+    user_mlp = layer_norm(
+        params["mlp_norm"],
+        embedding_lookup(params["user_emb"], user_ids)[:, dmf:])
+    seq_emb = layer_norm(
+        params["mlp_norm"],
+        embedding_lookup(params["item_emb"], hsafe)[..., dmf:])
+    p = params["sequence_attn"]
+    q = dense(p["q"], user_mlp)                     # [B, D]
+    k = dense(p["k"], seq_emb)                      # [B, H, D]
+    B, H, _ = k.shape
+    scores = (q[:, None, :] * k).reshape(B, H, NH, hd).sum(-1) / math.sqrt(hd)
+    scores = jnp.where(mask[:, :, None], scores, -1e9)
+    weights = jax.nn.softmax(scores, axis=1)        # [B, H, NH]
+    weights = jnp.where(mask[:, :, None], weights, 0.0)
+    return np.asarray(weights.mean(axis=-1))        # head-averaged
+
+
 def confidence_histogram(scores: np.ndarray, bins: int = 10) -> Dict:
     """Prediction-confidence histogram over sigmoid scores
     (app.py confidence panel)."""
@@ -90,6 +127,7 @@ def intelligence_report(
     scores: np.ndarray,          # [k] top-k sigmoid scores
     item_ids: np.ndarray,        # [k]
     sample_users: Optional[np.ndarray] = None,
+    history: Optional[np.ndarray] = None,   # [H] this user's recent items
 ) -> Dict:
     """The full dashboard payload for one recommendation set."""
     users = (np.asarray(sample_users)
@@ -98,7 +136,7 @@ def intelligence_report(
     heads = attention_head_importance(
         params, cfg, jnp.asarray(users, jnp.int32),
         jnp.asarray(cand, jnp.int32))
-    return {
+    out = {
         "user_id": int(user_id),
         "normalized_scores": [round(float(v), 4)
                               for v in normalized_scores(scores)],
@@ -106,3 +144,13 @@ def intelligence_report(
         "confidence": confidence_histogram(scores),
         "component_importance": component_importance(params),
     }
+    if (history is not None and getattr(cfg, "use_sequence", False)
+            and "sequence_attn" in params):
+        h = np.asarray(history, np.int32).reshape(1, -1)
+        w = history_attention_weights(
+            params, cfg, jnp.asarray([user_id], jnp.int32),
+            jnp.asarray(h))[0]
+        out["history_attention"] = [
+            {"item_id": int(i), "weight": round(float(wt), 5)}
+            for i, wt in zip(h[0], w) if i >= 0]
+    return out

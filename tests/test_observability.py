@@ -138,3 +138,63 @@ class TestIntelligence:
         assert set(report) == {"user_id", "normalized_scores",
                                "attention_head_importance", "confidence",
                                "component_importance"}
+
+
+class TestHistoryAttention:
+    """Sequence-path explanations: attention weights over the user's
+    recent items (serving/intelligence.py::history_attention_weights)."""
+
+    @pytest.fixture(scope="class")
+    def seq_model(self):
+        cfg = ModelConfig()
+        cfg.num_users = 30
+        cfg.num_items = 25
+        cfg.mf_dim = 16
+        cfg.mlp_dim = 16
+        cfg.temporal_dim = 8
+        cfg.mlp_hidden_dims = [32, 16]
+        cfg.compute_dtype = "float32"
+        cfg.use_sequence = True
+        cfg.history_len = 6
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg)
+        return cfg, params
+
+    def test_weights_normalized_and_padding_zero(self, seq_model):
+        from ncf_tpu.serving.intelligence import history_attention_weights
+
+        cfg, params = seq_model
+        hist = np.asarray([[3, 7, 11, -1, -1, -1],
+                           [1, 2, 3, 4, 5, 6]], np.int32)
+        w = history_attention_weights(
+            params, cfg, jnp.asarray([0, 1], jnp.int32), jnp.asarray(hist))
+        assert w.shape == (2, 6)
+        assert (w[0, 3:] == 0).all()            # padded slots exactly 0
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-5)
+        assert (w >= 0).all()
+
+    def test_report_includes_history_attention(self, seq_model):
+        cfg, params = seq_model
+        report = intelligence_report(
+            params, cfg, user_id=2,
+            scores=np.asarray([0.9, 0.4, 0.2]),
+            item_ids=np.asarray([5, 9, 3]),
+            history=np.asarray([4, 8, -1, -1, -1, -1], np.int32))
+        ha = report["history_attention"]
+        assert [e["item_id"] for e in ha] == [4, 8]
+        assert abs(sum(e["weight"] for e in ha) - 1.0) < 1e-4
+
+    def test_requires_sequence_params(self):
+        from ncf_tpu.serving.intelligence import history_attention_weights
+
+        cfg = ModelConfig()
+        cfg.num_users = 10
+        cfg.num_items = 10
+        cfg.mf_dim = 8
+        cfg.mlp_dim = 8
+        cfg.temporal_dim = 4
+        cfg.mlp_hidden_dims = [16]
+        params = advanced_ncf.init(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError):
+            history_attention_weights(
+                params, cfg, jnp.asarray([0], jnp.int32),
+                jnp.asarray([[1, -1]], jnp.int32))
