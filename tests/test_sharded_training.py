@@ -100,3 +100,36 @@ class TestShardedTrainer:
         assert t.global_step == len(t.train_iter)
         val = t.validate(0)
         assert np.isfinite(val["val_loss"])
+
+
+class TestShardedSequence:
+    """The sequence path (history attention) under the mesh: sharded
+    tables + replicated history consts must match the single-device
+    trajectory."""
+
+    def test_sequence_trajectory_matches_single_device(self, inter,
+                                                       tmp_path):
+        cfg = cfg_for(tmp_path / "seq1")
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 6
+        cfg.train.input_pipeline = "host"
+        t1 = Trainer(cfg, inter)
+        m1 = t1.train_epoch(0)
+        v1 = t1.validate(0)
+
+        cfg8 = cfg_for(tmp_path / "seq8")
+        cfg8.model.use_sequence = True
+        cfg8.model.history_len = 6
+        t8 = Trainer(cfg8, inter, mesh=make_mesh(dcn=1, ici=8))
+        assert t8.params["user_emb"].sharding.spec[0] == "ici"
+        m8 = t8.train_epoch(0)
+        v8 = t8.validate(0)
+
+        assert np.isclose(v1["val_loss"], v8["val_loss"], rtol=1e-4), (
+            v1["val_loss"], v8["val_loss"])
+        fa = jax.tree_util.tree_flatten_with_path(t1.params)[0]
+        fb = dict(jax.tree_util.tree_flatten_with_path(t8.params)[0])
+        for path, leaf in fa:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(fb[path]), rtol=2e-4,
+                atol=2e-5, err_msg=jax.tree_util.keystr(path))
