@@ -278,6 +278,7 @@ def apply(
     history: Optional[jax.Array] = None,    # int32 [B, H] padded with -1
     user_rows: Optional[jax.Array] = None,  # [B, 2d] pre-gathered user rows
     item_rows: Optional[jax.Array] = None,  # [B, S, 2d] pre-gathered items
+    history_rows: Optional[jax.Array] = None,  # [B, H, 2d] pre-gathered
 ) -> jax.Array:
     """Forward pass -> logits [B, S].
 
@@ -314,12 +315,13 @@ def apply(
     # vocabulary is small, normalize the whole table once and gather
     # normalized rows; otherwise gather then normalize per occurrence.
     dmf = cfg.mf_dim
-    if user_rows is not None or item_rows is not None:
+    if (user_rows is not None or item_rows is not None
+            or history_rows is not None):
         # row injection is the big-vocab training path; the precompute
         # branch would silently ignore it
         assert not vocab, (
-            "user_rows/item_rows require the precompute-OFF regime "
-            "(num_items + num_users > 4*B*S)")
+            "user_rows/item_rows/history_rows require the precompute-OFF "
+            "regime (num_items + num_users > 4*B*S)")
     if vocab:
         # normalize both halves of the fused tables once over the
         # vocabulary, fold in the hierarchy, then ONE gather per entity
@@ -394,9 +396,12 @@ def apply(
                     sa, seq_q, seq_k, seq_v, cfg.num_heads, cfg.dropout,
                     rngs.get("seq"), deterministic, dtype, key_mask=hmask)
             else:
-                seq_emb = layer_norm(
-                    params["mlp_norm"],
-                    embedding_lookup(params["item_emb"], hsafe)[..., dmf:])
+                # big-vocab: per-occurrence rows, either injected by the
+                # sparse-update path (grads flow to the [B, H, 2d] rows)
+                # or gathered here
+                seq_src = (history_rows if history_rows is not None
+                           else embedding_lookup(params["item_emb"], hsafe))
+                seq_emb = layer_norm(params["mlp_norm"], seq_src[..., dmf:])
                 if use_cat:
                     # keep history embeddings consistent with the item
                     # tower across vocab/non-vocab paths (both include

@@ -206,8 +206,10 @@ def sparse_mode_available(cfg: Config, mesh=None) -> bool:
     a mesh the way torchrec runs fused optimizers under
     DistributedModelParallel, reference trainer.py:85-88):
     rowwise-Adagrad tables, AdvancedNCF in the big-vocab
-    (precompute-OFF) regime, no sequence path (its history lookups
-    would need row injection too).  Under a mesh, both tables must
+    (precompute-OFF) regime; the sequence path composes (history rows
+    inject like candidate rows) except strictly-causal per-example
+    contexts (whose [N, H] host table is infeasible at this scale
+    anyway).  Under a mesh, both tables must
     divide the 'ici' axis and the batch must divide the device count
     (the static-shape requirements of the all-to-all grad routing)."""
     m, t = cfg.model, cfg.train
@@ -215,7 +217,7 @@ def sparse_mode_available(cfg: Config, mesh=None) -> bool:
     base = (
         t.embedding_optimizer == "rowwise_adagrad"
         and m.name == "advanced_ncf"
-        and not m.use_sequence
+        and not (m.use_sequence and m.causal_history)
         and entities > 4 * t.batch_size * (1 + m.negative_samples))
     if not base or mesh is None:
         return base
@@ -300,21 +302,53 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule,
         item_rows = _gather(tables["item_emb"], items.reshape(-1)).reshape(
             items.shape + (-1,))
 
-        def loss_fn(dense_p, u_rows, i_rows):
+        # sequence path composed with sparse updates: history item rows
+        # are gathered OUTSIDE the loss like the candidate rows, their
+        # [B, H, 2d] grads concat onto the item-occurrence grads, and
+        # the duplicate-combine + scatter treats them as more touched
+        # rows of the same table (same mechanism the reference gets
+        # from fbgemm for every lookup of a table)
+        history = None
+        h_ids = None
+        history_rows = None
+        if mcfg.use_sequence and "user_history" in consts:
+            history = jnp.take(consts["user_history"], batch["user_ids"],
+                               axis=0)
+            # exclude each positive from its own context (mirrors the
+            # dense step's _make_loss_fn history handling exactly)
+            history = jnp.where(history == pos[:, None], -1, history)
+            hmask = history >= 0
+            # padded slots alias the batch's POSITIVE row (already
+            # touched) with exactly-zero grads, so padding never adds
+            # spurious touched rows (row-0 would otherwise receive
+            # touched-row weight decay it never earned)
+            h_ids = jnp.where(hmask, history, pos[:, None]).reshape(-1)
+            history_rows = _gather(tables["item_emb"], h_ids).reshape(
+                history.shape + (-1,))
+
+        def loss_fn(dense_p, u_rows, i_rows, h_rows):
             logits = model.apply(
                 dense_p, mcfg, batch["user_ids"], items, temporal,
                 consts.get("item_dept"), consts.get("item_cat"),
                 candidate_attention=joint, deterministic=False,
-                rng=rng_drop, user_rows=u_rows, item_rows=i_rows)
+                rng=rng_drop, history=history,
+                user_rows=u_rows, item_rows=i_rows, history_rows=h_rows)
             targets = jnp.zeros((pos.shape[0], S),
                                 jnp.float32).at[:, 0].set(1.0)
             return loss_impl(logits, targets), (logits, targets)
 
         (loss, (logits, targets)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True)(
-            dense, user_rows, item_rows)
-        g_dense, g_u, g_i = grads
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+            dense, user_rows, item_rows, history_rows)
+        g_dense, g_u, g_i, g_h = grads
         g_i = g_i.reshape(-1, g_i.shape[-1])
+        item_upd_ids = items.reshape(-1)
+        if history_rows is not None:
+            # masked slots carry exactly-zero cotangents (the attention
+            # masks them out of scores and values)
+            g_i = jnp.concatenate(
+                [g_i, g_h.reshape(-1, g_h.shape[-1])], axis=0)
+            item_upd_ids = jnp.concatenate([item_upd_ids, h_ids])
         # optax.scale_by_schedule evaluates at the PRE-increment count
         lr_t = schedule(opt_state["count"]) * emb_scale
 
@@ -329,7 +363,7 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule,
                     mesh,
                     [tables["user_emb"], tables["item_emb"]],
                     [opt_state["user_acc"], opt_state["item_acc"]],
-                    [batch["user_ids"], items.reshape(-1)],
+                    [batch["user_ids"], item_upd_ids],
                     [g_u, g_i], lr_t, eps, ewd,
                     clip=clip, dense_sq=dense_sq))
             if clip > 0:
@@ -343,7 +377,7 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule,
             u_rep, u_tot = combine_duplicate_rows(
                 batch["user_ids"], g_u, tables["user_emb"].shape[0])
             i_rep, i_tot = combine_duplicate_rows(
-                items.reshape(-1), g_i, tables["item_emb"].shape[0])
+                item_upd_ids, g_i, tables["item_emb"].shape[0])
             if clip > 0:
                 gnorm = optax.global_norm((g_dense, u_tot, i_tot))
                 trigger = jnp.minimum(clip / gnorm, 1.0)
@@ -373,6 +407,7 @@ def _make_sparse_body(model, cfg: Config, dense_optimizer, schedule,
 def make_sparse_train_step(
     model, cfg: Config, dense_optimizer, schedule,
     neg_cdf=None, item_dept=None, item_cat=None, mesh=None,
+    user_history=None,
 ) -> Callable:
     """Sparse-table-update train step (same call contract as
     ``make_train_step``): table grads stay [N, 2d] row grads, tables and
@@ -381,7 +416,7 @@ def make_sparse_train_step(
     are row-sharded and updates route via all-to-all
     (train/sparse_sharded.py)."""
     body = _make_sparse_body(model, cfg, dense_optimizer, schedule, mesh)
-    consts = _const_args(neg_cdf, item_dept, item_cat, None)
+    consts = _const_args(neg_cdf, item_dept, item_cat, user_history)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _step(params, opt_state, rng, batch, consts):
@@ -396,11 +431,12 @@ def make_sparse_train_step(
 def make_sparse_multi_train_step(
     model, cfg: Config, dense_optimizer, schedule,
     neg_cdf=None, item_dept=None, item_cat=None, mesh=None,
+    user_history=None,
 ) -> Callable:
     """K sparse steps per dispatch via lax.scan (multi-step contract of
     ``make_multi_train_step``)."""
     body = _make_sparse_body(model, cfg, dense_optimizer, schedule, mesh)
-    consts = _const_args(neg_cdf, item_dept, item_cat, None)
+    consts = _const_args(neg_cdf, item_dept, item_cat, user_history)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _multi(params, opt_state, rng, batches, consts):

@@ -188,7 +188,8 @@ class Trainer:
         if self.sparse_tables and not sparse_mode_available(cfg, mesh):
             raise ValueError(
                 "sparse_table_update=on requires rowwise_adagrad tables, "
-                "advanced_ncf in the big-vocab regime, no sequence path; "
+                "advanced_ncf in the big-vocab regime (static-table "
+                "history only — causal_history is incompatible); "
                 "under a mesh: shard_embeddings with table rows divisible "
                 "by ici and batch divisible by the device count")
         if self.sparse_tables:
@@ -245,7 +246,8 @@ class Trainer:
                        else make_sparse_train_step)
             self.train_step = builder(
                 self.model, cfg, self.optimizer, self._sparse_schedule,
-                self.neg_cdf, self.item_dept, self.item_cat, mesh=mesh)
+                self.neg_cdf, self.item_dept, self.item_cat, mesh=mesh,
+                user_history=self.user_history)
         elif cfg.train.steps_per_dispatch > 1:
             self.train_step = make_multi_train_step(
                 self.model, cfg, self.optimizer, self.neg_cdf,

@@ -204,3 +204,36 @@ def test_sharded_sparse_checkpoint_to_single_device(inter, tmp_path):
     np.testing.assert_allclose(np.asarray(t1.opt_state["item_acc"]),
                                np.asarray(t2.opt_state["item_acc"]),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("dcn,ici", [(1, 8), (2, 4)])
+def test_sequence_sparse_sharded_matches_dense_sharded(inter, tmp_path,
+                                                       dcn, ici):
+    """The FULL composition: sequence path + sparse row updates +
+    row-sharded tables.  History-occurrence grads route to owner shards
+    through the same all-to-all as candidate grads; trajectory must
+    match the dense sharded path on the same mesh."""
+    from ncf_tpu.train import Trainer
+
+    mesh = make_mesh(dcn=dcn, ici=ici)
+
+    def cfg_seq(sparse, tag):
+        cfg = _cfg(sparse, tmp_path, tag)
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 5
+        return cfg
+
+    td = Trainer(cfg_seq("off", f"qd{dcn}{ici}"), inter, mesh=mesh)
+    assert not td.sparse_tables
+    td.train_epoch(0)
+    ts = Trainer(cfg_seq("on", f"qs{dcn}{ici}"), inter, mesh=mesh)
+    assert ts.sparse_tables
+    ts.train_epoch(0)
+    _assert_params_close(td, ts)
+    dense_acc = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(td.opt_state)[0]
+        if "sum_sq" in jax.tree_util.keystr(p)}
+    i_dense = next(v for k, v in dense_acc.items() if "item_emb" in k)
+    np.testing.assert_allclose(np.asarray(ts.opt_state["item_acc"]),
+                               np.asarray(i_dense), rtol=1e-4, atol=1e-6)

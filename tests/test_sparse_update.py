@@ -117,9 +117,15 @@ def test_sparse_mode_available_gating():
     adam = _bigvocab_cfg("auto")
     adam.train.embedding_optimizer = "adam"
     assert not sparse_mode_available(adam)
+    # sequence composes (round-4 continuation: history-row injection);
+    # only strictly-causal per-example contexts are incompatible
     seq = _bigvocab_cfg("auto")
     seq.model.use_sequence = True
-    assert not sparse_mode_available(seq)
+    assert sparse_mode_available(seq)
+    causal = _bigvocab_cfg("auto")
+    causal.model.use_sequence = True
+    causal.model.causal_history = True
+    assert not sparse_mode_available(causal)
 
 
 @pytest.mark.parametrize("spd", [1, 3])
@@ -215,3 +221,44 @@ def test_sparse_checkpoint_resume(tmp_path, big_inter):
     t2.train()
     for a, b in zip(final, jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("clip", [0.0, 0.05])
+def test_sequence_sparse_matches_dense_path(tmp_path, big_inter, clip):
+    """use_sequence composed with sparse table updates: history rows
+    inject like candidate rows, their grads join the item-table
+    combine+scatter — full-Trainer trajectory identical to the dense
+    path (including a triggered clip, whose norm must cover the
+    history-occurrence totals too)."""
+    from ncf_tpu.train import Trainer
+
+    def cfg_for(sparse, tag):
+        cfg = _bigvocab_cfg(sparse, gradient_clip_norm=clip)
+        cfg.model.use_sequence = True
+        cfg.model.history_len = 5
+        cfg.train.num_epochs = 1
+        cfg.train.checkpoint_dir = str(tmp_path / tag)
+        return cfg
+
+    t_a = Trainer(cfg_for("off", f"sa{clip}"), big_inter)
+    assert not t_a.sparse_tables
+    t_a.train_epoch(0)
+    t_b = Trainer(cfg_for("on", f"sb{clip}"), big_inter)
+    assert t_b.sparse_tables
+    t_b.train_epoch(0)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(t_a.params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(t_b.params)[0])
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path))
+    # history rows actually received updates: the item accumulator rows
+    # touched must be a superset of the batch's candidate items alone
+    dense_acc = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(t_a.opt_state)[0]
+        if "sum_sq" in jax.tree_util.keystr(p)}
+    i_dense = next(v for k, v in dense_acc.items() if "item_emb" in k)
+    np.testing.assert_allclose(np.asarray(t_b.opt_state["item_acc"]),
+                               np.asarray(i_dense), rtol=1e-4, atol=1e-6)
