@@ -246,6 +246,11 @@ def test_sequence_sparse_matches_dense_path(tmp_path, big_inter, clip):
     t_b = Trainer(cfg_for("on", f"sb{clip}"), big_inter)
     assert t_b.sparse_tables
     t_b.train_epoch(0)
+    if clip == 0.0:
+        # the big-vocab (precompute-OFF) eval path with sequence
+        va, vb = t_a.validate(0), t_b.validate(0)
+        assert np.isclose(va["val_loss"], vb["val_loss"], rtol=1e-4)
+        assert np.isfinite(va["hr@10"])
 
     flat_a = jax.tree_util.tree_flatten_with_path(t_a.params)[0]
     flat_b = dict(jax.tree_util.tree_flatten_with_path(t_b.params)[0])
