@@ -342,17 +342,23 @@ def bench_serving_qps_int8():
     return B / dt, dt * 1e3
 
 
-def read_convergence():
+def read_convergence(protocol="sampled"):
     """Best leave-one-out metrics across all recorded convergence runs
-    (results/*_metrics.jsonl), if present."""
+    (results/*_metrics.jsonl), if present.  ``protocol`` selects rows
+    from the sampled-negatives protocol or the exact full-catalog one
+    (rows tagged eval_protocol_full by evals/full_eval.py) — the two are
+    not comparable and must never mix."""
     import glob
 
+    want_full = protocol == "full"
     best = None
     for path in glob.glob("results/*_metrics.jsonl"):
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
                 if rec.get("kind") == "val" and "hr@10" in rec:
+                    if bool(rec.get("eval_protocol_full")) != want_full:
+                        continue
                     if best is None or rec["hr@10"] > best["hr@10"]:
                         best = rec
     if best is None:
@@ -456,6 +462,9 @@ def main():
     conv = read_convergence()
     if conv:
         detail["ml1m_scale_leave_one_out"] = conv
+    conv_full = read_convergence("full")
+    if conv_full:
+        detail["ml1m_scale_leave_one_out_full"] = conv_full
     try:
         # big-vocab (precompute-OFF) regime RECORD: the largest-entity
         # run on file (small CPU-mesh correctness runs also append here)

@@ -117,13 +117,34 @@ def cmd_evaluate(args) -> int:
                              cfg.data.num_eval_negatives, cfg.train.seed)
     eval_history = (loo_train.recent_history(cfg.model.history_len)
                     if cfg.model.use_sequence else None)
-    evaluator = DeviceEvaluator(
-        model, cfg.model, eval_set,
-        batch_size=cfg.data.eval_batch_size,
-        item_dept=inter.item_dept, item_cat=inter.item_cat,
-        user_history=eval_history)
-    metrics = evaluator(params)
-    print({k: round(v, 4) for k, v in metrics.items()})
+    protocol = getattr(args, "protocol", "") or cfg.data.eval_protocol
+    out = {}
+    if protocol in ("sampled", "both"):
+        evaluator = DeviceEvaluator(
+            model, cfg.model, eval_set,
+            batch_size=cfg.data.eval_batch_size,
+            item_dept=inter.item_dept, item_cat=inter.item_cat,
+            user_history=eval_history)
+        out["sampled"] = evaluator(params)
+    if protocol in ("full", "both"):
+        from ncf_tpu.evals.full_eval import (FullCatalogEvaluator,
+                                             full_ranks_naive,
+                                             metrics_from_ranks)
+        if cfg.model.name == "advanced_ncf":
+            full_ev = FullCatalogEvaluator(
+                cfg.model, inter, eval_users, eval_items,
+                user_history=eval_history,
+                item_dept=inter.item_dept, item_cat=inter.item_cat,
+                user_block=cfg.data.full_eval_user_block,
+                item_block=cfg.data.full_eval_item_block)
+            out["full"] = full_ev(params)
+        else:
+            out["full"] = metrics_from_ranks(full_ranks_naive(
+                model, params, cfg.model, inter, eval_users, eval_items,
+                user_history=eval_history, item_dept=inter.item_dept,
+                item_cat=inter.item_cat))
+    for proto, metrics in out.items():
+        print(proto, {k: round(v, 4) for k, v in metrics.items()})
     return 0
 
 
@@ -340,6 +361,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("evaluate", help="leave-one-out ranking eval")
     common(sp)
     sp.add_argument("--checkpoint")
+    sp.add_argument("--protocol", default="",
+                    choices=["", "sampled", "full", "both"],
+                    help="override data.eval_protocol; 'both' reports the "
+                         "sampled and exact full-catalog metrics side by "
+                         "side")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("score", help="batch-score users to CSV")

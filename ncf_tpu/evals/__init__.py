@@ -6,6 +6,10 @@ from ncf_tpu.evals.evaluate import (
     metrics_from_ranks,
     sample_eval_users,
 )
+from ncf_tpu.evals.full_eval import (
+    FullCatalogEvaluator,
+    full_ranks_naive,
+)
 from ncf_tpu.evals.metrics import (
     accuracy_stats,
     auc,
@@ -21,6 +25,8 @@ from ncf_tpu.evals.metrics import (
 __all__ = [
     "DeviceEvaluator",
     "EvalSet",
+    "FullCatalogEvaluator",
+    "full_ranks_naive",
     "metrics_from_ranks",
     "sample_eval_users",
     "evaluate",

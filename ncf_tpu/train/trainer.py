@@ -390,16 +390,52 @@ class Trainer:
             if self.mesh is not None:
                 from ncf_tpu.parallel import replicated
                 sharding = replicated(self.mesh)
-            self._device_eval = DeviceEvaluator(
-                self.model, self.cfg.model, self.eval_set,
-                batch_size=self.cfg.data.eval_batch_size,
-                item_dept=self.item_dept, item_cat=self.item_cat,
-                user_history=self.eval_history, sharding=sharding)
+            if self.cfg.data.eval_protocol == "full":
+                self._device_eval = self._build_full_evaluator(sharding)
+            else:
+                self._device_eval = DeviceEvaluator(
+                    self.model, self.cfg.model, self.eval_set,
+                    batch_size=self.cfg.data.eval_batch_size,
+                    item_dept=self.item_dept, item_cat=self.item_cat,
+                    user_history=self.eval_history, sharding=sharding)
         rank = self._device_eval(self.params)
         out.update(rank)
         self.metrics_logger.write(kind="val", epoch=epoch,
                                   step=self.global_step, **out)
         return out
+
+    def _build_full_evaluator(self, sharding=None):
+        """Exact full-catalog leave-one-out evaluator
+        (``data.eval_protocol: full`` — evals/full_eval.py).  AdvancedNCF
+        gets the decomposed blocked pass; other models fall back to
+        naive whole-catalog scoring (fine at their vocab scales)."""
+        from ncf_tpu.evals.full_eval import (FullCatalogEvaluator,
+                                             full_ranks_naive,
+                                             metrics_from_ranks)
+
+        eval_users = np.asarray(self.eval_set.users)
+        eval_items = np.asarray(self.eval_set.candidates[:, 0])
+        if self.cfg.model.name == "advanced_ncf":
+            return FullCatalogEvaluator(
+                self.cfg.model, self.full, eval_users, eval_items,
+                user_history=self.eval_history,
+                item_dept=self.item_dept, item_cat=self.item_cat,
+                user_block=self.cfg.data.full_eval_user_block,
+                item_block=self.cfg.data.full_eval_item_block,
+                sharding=sharding)
+
+        model, cfg_m, full = self.model, self.cfg.model, self.full
+        hist, dept, cat = self.eval_history, self.item_dept, self.item_cat
+
+        def _naive_eval(params, ks=(1, 5, 10)):
+            ranks = full_ranks_naive(
+                model, params, cfg_m, full, eval_users, eval_items,
+                user_history=hist, item_dept=dept, item_cat=cat)
+            out = metrics_from_ranks(ranks, ks)
+            out["eval_protocol_full"] = 1.0
+            return out
+
+        return _naive_eval
 
     def _register_exchange(self) -> None:
         """(Re)register this Trainer's explicit all-to-all exchange in

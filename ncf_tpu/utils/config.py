@@ -90,6 +90,14 @@ class DataConfig:
     #                                     full population is hours/epoch at
     #                                     the 100M-entity regime); 0 = all
     eval_batch_size: int = 2048         # user block per eval scan step
+    # leave-one-out protocol: "sampled" ranks the positive against
+    # num_eval_negatives sampled items (the reference's intended
+    # protocol); "full" ranks it EXACTLY against the whole catalog minus
+    # the user's history (evals/full_eval.py — unbiased; sampled
+    # leave-one-out can re-order models, Krichene & Rendle KDD'20)
+    eval_protocol: str = "sampled"
+    full_eval_user_block: int = 512     # users per block (full protocol)
+    full_eval_item_block: int = 2048    # catalog slice per scan step
     min_user_interactions: int = 2
     # synthetic generator scale (reference datagen defaults, scripts/1.*/02*)
     synthetic_users: int = 8031
@@ -385,6 +393,10 @@ class Config:
             raise ValueError(
                 f"train.sparse_table_update must be auto | on | off, "
                 f"got {t.sparse_table_update!r}")
+        if self.data.eval_protocol not in ("sampled", "full"):
+            raise ValueError(
+                f"data.eval_protocol must be sampled | full, "
+                f"got {self.data.eval_protocol!r}")
         if self.mesh.embedding_exchange not in ("pjit", "explicit"):
             raise ValueError(
                 f"mesh.embedding_exchange must be 'pjit' or 'explicit', "

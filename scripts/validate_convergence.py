@@ -48,6 +48,12 @@ def main():
                     help="wire the 50-item history sequence path "
                          "(configs/advanced_ncf_sequence.yaml semantics)")
     ap.add_argument("--patience", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train seed (init + negative sampling + eval "
+                         "negatives); the dataset seed stays fixed so "
+                         "multi-seed runs measure training variance")
+    ap.add_argument("--eval-protocol", default="sampled",
+                    choices=["sampled", "full"])
     ap.add_argument("--metrics-file", required=True)
     ap.add_argument("--checkpoint-dir", default="")
     args = ap.parse_args()
@@ -70,6 +76,8 @@ def main():
         cfg.model.history_len = 50
     cfg.data.validation_days = 10
     cfg.data.num_eval_negatives = 100
+    cfg.data.eval_protocol = args.eval_protocol
+    cfg.train.seed = args.seed
     cfg.train.batch_size = 16384
     cfg.train.steps_per_dispatch = args.steps_per_dispatch
     cfg.train.learning_rate = 1e-3
