@@ -28,6 +28,21 @@ from ncf_tpu.utils.config import Config, setup_logging
 log = logging.getLogger(__name__)
 
 
+def shipped_demo_checkpoint() -> Optional[str]:
+    """Path of the committed demo checkpoint (demo/checkpoint at the
+    repo root; scripts/make_demo_checkpoint.py) if present — lets
+    ``ncf-tpu demo`` work on a fresh clone without a training run,
+    matching the reference's shipped model
+    (src/inference/demo/train_20241225_002713_model/)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = os.path.join(root, "demo", "checkpoint")
+    if os.path.exists(os.path.join(p, "manifest.json")):
+        return p
+    return None
+
+
 def load_config(args) -> Config:
     cfg = Config.from_yaml(args.config) if args.config else Config()
     cfg.apply_overrides(args.overrides or [])
@@ -266,6 +281,17 @@ def cmd_consolidate(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment validator (reference: scripts/0. setup/
+    validate_setup.py:17-30) — accelerator visibility, compile smoke,
+    HBM budget of the configured model, mesh fit, artifact-store
+    writability, native loader, redis reachability."""
+    from ncf_tpu.utils import doctor
+
+    cfg = load_config(args)
+    return doctor.run(cfg)
+
+
 def cmd_demo(args) -> int:
     """Interactive-style terminal demo (the Streamlit app analogue,
     reference demo/app.py:250-553): top-k for a customer, optional
@@ -289,9 +315,24 @@ def cmd_demo(args) -> int:
             cfg, args.checkpoint, item_dept=inter.item_dept,
             item_cat=inter.item_cat)
     except FileNotFoundError:
-        log.warning("no checkpoint; demo with random params")
-        server = ModelServer(cfg, item_dept=inter.item_dept,
-                             item_cat=inter.item_cat)
+        # out-of-the-box demo: fall back to the shipped checkpoint
+        # (demo/checkpoint, built by scripts/make_demo_checkpoint.py —
+        # the reference ships src/inference/demo/train_*_model the same
+        # way); only valid for the default synthetic config shapes
+        shipped = shipped_demo_checkpoint()
+        server = None
+        if shipped:
+            try:
+                server = ModelServer.from_checkpoint(
+                    cfg, shipped, item_dept=inter.item_dept,
+                    item_cat=inter.item_cat)
+                log.info("using shipped demo checkpoint: %s", shipped)
+            except Exception as e:
+                log.warning("shipped demo checkpoint unusable (%s)", e)
+        if server is None:
+            log.warning("no checkpoint; demo with random params")
+            server = ModelServer(cfg, item_dept=inter.item_dept,
+                                 item_cat=inter.item_cat)
     proc = FeatureProcessor(FeatureStore(inter))
     uid = args.customer
 
@@ -409,6 +450,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--top-k", type=int, default=5)
     sp.add_argument("--hour", type=int, default=None)
     sp.set_defaults(fn=cmd_demo)
+
+    sp = sub.add_parser(
+        "doctor",
+        help="validate the environment: devices, compile smoke, HBM "
+             "budget vs config, mesh fit, checkpoint-dir writability, "
+             "native loader, redis")
+    common(sp)
+    sp.set_defaults(fn=cmd_doctor)
 
     return p
 

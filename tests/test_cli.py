@@ -66,3 +66,52 @@ class TestCLI:
     def test_bad_override_fails(self):
         with pytest.raises((SystemExit, ValueError)):
             main(["datagen", "bogus.key=1"])
+
+
+class TestDoctor:
+    def test_doctor_runs_clean(self, tmp_path, capsys):
+        from ncf_tpu.cli import build_parser
+
+        p = build_parser()
+        args = p.parse_args([
+            "doctor", f"train.checkpoint_dir={tmp_path}/ck"])
+        rc = args.fn(args)
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        for name in ("config", "devices", "compile", "hbm", "mesh",
+                     "artifact_store", "native", "redis"):
+            assert name in out
+
+    def test_doctor_fails_on_bad_config(self, tmp_path, capsys):
+        from ncf_tpu.cli import build_parser
+
+        p = build_parser()
+        args = p.parse_args([
+            "doctor", "model.negative_samples=0",
+            f"train.checkpoint_dir={tmp_path}/ck"])
+        rc = args.fn(args)
+        assert rc == 1
+        assert "negative_samples" in capsys.readouterr().out
+
+    def test_doctor_hbm_estimate_scales(self):
+        from ncf_tpu.utils.config import Config
+        from ncf_tpu.utils.doctor import estimate_train_hbm
+
+        small, big = Config(), Config()
+        big.model.num_users = 10_000_000
+        big.model.num_items = 3_000_000
+        est_small, est_big = estimate_train_hbm(small), estimate_train_hbm(big)
+        assert est_big > est_small
+        # 13M rows x 128 dims x 4 B  >= 6.6 GB of tables alone
+        assert est_big > 6e9
+
+    def test_doctor_mesh_check_detects_oversize(self, monkeypatch):
+        from ncf_tpu.utils.config import Config
+        from ncf_tpu.utils.doctor import check_mesh
+
+        cfg = Config()
+        cfg.mesh.enable = "on"
+        cfg.mesh.dcn_axis = 64
+        cfg.mesh.ici_axis = 64
+        name, status, msg = check_mesh(cfg)
+        assert status == "fail" and "4096" in msg
