@@ -342,6 +342,131 @@ def bench_serving_qps_int8():
     return B / dt, dt * 1e3
 
 
+def sparse_min_bytes(B, S, U, V, d=64, dt_dim=32, dense_b=0,
+                     fused_tower=True) -> dict:
+    """Analytic minimum HBM bytes for ONE sparse-table-update step at a
+    big-vocab shape (round-4 verdict item 6 — the fbgemm bytes argument,
+    reference Dockerfile:24-28, made falsifiable): traffic scales with
+    TOUCHED rows, never with the vocabulary.
+
+    ``floor``: touched-row traffic only — per occurrence row (B user +
+    B*S item): one [2d] f32 gather read (fwd), one read-modify-write
+    scatter update (2x), one rowwise-accumulator RMW (8 B) — plus dense
+    params/Adam state RMW and the int32 batch.  Upper-bounds unique rows
+    by occurrences (the segment-sum dedup can only reduce it).
+
+    ``asshipped``: adds the per-occurrence activation traffic of the
+    no-remat program (gathered rows + LN outputs f32, hierarchy vectors,
+    MF/QKV/attention/temporal/tower intermediates, row-grad cotangent
+    buffers), each written in fwd and read in bwd.
+    """
+    w4 = 2 * d * 4                       # fused-row bytes (f32)
+    rows = B + B * S
+    floor = rows * (3 * w4 + 8)          # gather + scatter RMW + acc RMW
+    floor += 2 * dense_b + 2 * (2 * dense_b)   # dense params + Adam moments
+    floor += 6 * B * 4                   # int32 batch columns
+    bf = 2
+    act = 0
+    act += rows * w4                     # gathered rows (f32)
+    act += rows * w4                     # LN'd halves (f32)
+    act += B * S * d * 4 * 2             # hierarchy vector + fused add (f32)
+    act += B * S * d * bf                # mf_vector
+    act += B * S * 4                     # mf_pred f32
+    act += (B * d + 2 * B * S * d) * bf  # q, k, v
+    act += B * 4 * S * 4 + B * 4 * S     # attn probs f32 + dropout mask
+    act += B * d * bf                    # attention output
+    act += B * dt_dim * 4                # temporal vector f32
+    act += B * (d + dt_dim) * bf         # tower input concat
+    if not fused_tower:
+        act += 2 * B * (256 + 128 + 64) * bf + B * (256 + 128 + 64)
+    act += B * 4 + B * S * 4             # mlp_pred + logits f32
+    act += B * S * 4                     # sampled negatives int32
+    act += rows * w4                     # row-grad cotangent buffers (f32)
+    return {"floor": floor, "asshipped": floor + 2 * act}
+
+
+def bigvocab_step_bench(users=9_000_000, items=3_000_000, steps=24):
+    """Measured sparse-step time at the big-vocab record shape (9M x 3M,
+    BENCH_r04 bigvocab_regime) + the sparse_min_bytes roofline — gives
+    the '3.5x dense' claim an absolute bytes anchor.  Runs on the real
+    chip only (the sparse scatter path is TPU-tuned)."""
+    import dataclasses
+
+    import numpy as np
+
+    from ncf_tpu.models import get_model
+    from ncf_tpu.train.optim import make_optimizer, make_schedule
+    from ncf_tpu.train.step import (init_sparse_opt_state,
+                                    make_sparse_train_step,
+                                    sparse_mode_available)
+    from ncf_tpu.utils.config import Config
+
+    cfg = Config()
+    cfg.model.num_users = users
+    cfg.model.num_items = items
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.train.batch_size = BATCH
+    cfg.train.embedding_optimizer = "rowwise_adagrad"
+    cfg.train.sparse_table_update = "on"
+    assert sparse_mode_available(cfg, None)
+    model = get_model("advanced_ncf")
+    params = model.init(jax.random.PRNGKey(0), cfg.model)
+    dense_cfg = dataclasses.replace(cfg.train, gradient_clip_norm=0.0)
+    optimizer = make_optimizer(dense_cfg, steps_per_epoch=100)
+    schedule = make_schedule(cfg.train, steps_per_epoch=100)
+    opt_state = init_sparse_opt_state(optimizer, params)
+    rng_np = np.random.default_rng(0)
+    dept = jnp.asarray(rng_np.integers(0, 9, items), jnp.int32)
+    cat = jnp.asarray(rng_np.integers(0, 30, items), jnp.int32)
+    step = make_sparse_train_step(model, cfg, optimizer, schedule,
+                                  None, dept, cat)
+    B = BATCH
+    batch = {k: jnp.asarray(v, jnp.int32) for k, v in {
+        "user_ids": rng_np.integers(0, users, B),
+        "item_ids": rng_np.integers(0, items, B),
+        "hour": rng_np.integers(0, 24, B),
+        "day": rng_np.integers(0, 7, B),
+        "month": rng_np.integers(0, 12, B),
+        "day_of_year": rng_np.integers(0, 365, B)}.items()}
+    rng = jax.random.PRNGKey(1)
+
+    def run(n, params, opt_state, rng):
+        for _ in range(n):
+            params, opt_state, rng, m = step(params, opt_state, rng, batch)
+        _ = float(m["loss"])
+        return params, opt_state, rng
+
+    t0 = time.perf_counter()
+    params, opt_state, rng = run(3, params, opt_state, rng)  # warm/compile
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    params, opt_state, rng = run(steps // 4, params, opt_state, rng)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    params, opt_state, rng = run(steps, params, opt_state, rng)
+    t_long = time.perf_counter() - t0
+    dt = (t_long - t_short) / (steps - steps // 4)
+
+    dense_b = sum(
+        l.size * l.dtype.itemsize
+        for k, v in params.items() if k not in ("user_emb", "item_emb")
+        for l in jax.tree_util.tree_leaves(v) if hasattr(l, "size"))
+    mb = sparse_min_bytes(B, 5, users, items, dense_b=dense_b,
+                          fused_tower=jax.default_backend() == "tpu")
+    # free the 6 GB tables before anything else runs
+    del params, opt_state
+    return {
+        "users": users, "items": items, "batch_size": B,
+        "step_ms": round(dt * 1e3, 3),
+        "examples_per_s": round(B / dt, 1),
+        "compile_s": round(compile_s, 1),
+        "sparse_min_bytes_floor_mb": round(mb["floor"] / 1e6, 1),
+        "sparse_min_bytes_asshipped_mb": round(mb["asshipped"] / 1e6, 1),
+        "sparse_hbm_util": round(mb["asshipped"] / dt / PEAK_HBM, 4),
+        "sparse_hbm_util_floor": round(mb["floor"] / dt / PEAK_HBM, 4),
+    }
+
+
 def read_convergence(protocol="sampled"):
     """Best leave-one-out metrics across all recorded convergence runs
     (results/*_metrics.jsonl), if present.  ``protocol`` selects rows
@@ -465,6 +590,12 @@ def main():
     conv_full = read_convergence("full")
     if conv_full:
         detail["ml1m_scale_leave_one_out_full"] = conv_full
+    if jax.default_backend() == "tpu":
+        try:
+            # measured big-vocab sparse step + its bytes roofline
+            detail["bigvocab_step"] = bigvocab_step_bench()
+        except Exception as e:
+            detail["bigvocab_step_error"] = str(e)[:200]
     try:
         # big-vocab (precompute-OFF) regime RECORD: the largest-entity
         # run on file (small CPU-mesh correctness runs also append here)

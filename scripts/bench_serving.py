@@ -111,6 +111,97 @@ def run_load(port: int, clients: int, reqs_per_client: int, num_users: int):
     }
 
 
+def inprocess_budget(num_items: int, sequence: bool = False,
+                     reps: int = 300) -> dict:
+    """Single-request latency budget WITHOUT HTTP (round-4 verdict item
+    5): how much of the ~50 ms observed single-client HTTP p50 is
+    device compute vs dispatch round-trip (the axon device tunnel pays
+    one RTT per dispatch on this host) vs scorer host tail vs server
+    layer vs API layer vs HTTP itself.
+
+    Stages (each the median of ``reps`` single-user requests):
+      device_compute_ms   marginal cost of the retrieval kernel when
+                          dispatches pipeline (t_chain(N2)-t_chain(N1))
+                          / (N2-N1) — pure device time, fixed per-call
+                          overhead cancelled
+      kernel_call_ms      one synchronous kernel dispatch+fetch; minus
+                          device_compute = per-dispatch overhead (host
+                          dispatch + device tunnel RTT)
+      scorer_ms           AdvancedNCFScorer.topk_for_users (adds host
+                          asarray/sigmoid/bias-cache)
+      server_ms           ModelServer.recommend_batch (adds locking +
+                          timing wrapper)
+      api_ms              RecommendationAPI.dispatch (adds pydantic
+                          validation + feature enrichment + JSON-able
+                          response assembly)
+    The HTTP layer on top is measured by run_load (1 client) in main().
+    """
+    import jax.numpy as jnp
+
+    from ncf_tpu.ops.topk import topk_scores
+
+    server = build_server(num_items, coalesce=False, sequence=sequence)
+    api = RecommendationAPI(server)
+    scorer = server.scorer
+    uid = np.array([7], np.int32)
+    body = {"customer_id": "7", "num_recommendations": 10}
+
+    # warm every path (compile + caches)
+    st, payload = api.dispatch("POST", "/api/v1/recommendations", body)
+    assert st == 200, payload
+    server.recommend_batch(uid, k=10)
+    scorer.topk_for_users(uid, k=10)
+
+    def med(fn, n=reps):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return 1e3 * ts[len(ts) // 2]
+
+    row = {"num_items": num_items, "sequence": sequence, "batch": 1,
+           "k": 10, "reps": reps}
+    if not sequence:
+        # raw kernel handles (the scorer's own exact-path dispatch)
+        q = scorer.user_query(jnp.asarray(uid))
+        bias = scorer.item_bias(None)
+        jax.block_until_ready((q, bias))
+
+        def kernel_once():
+            return topk_scores(q, scorer.item_vecs, 10, bias,
+                               impl=scorer.impl, seg_top=scorer._seg_top)
+
+        def chain(n):
+            out = None
+            for _ in range(n):
+                out = kernel_once()
+            jax.block_until_ready(out)
+
+        chain(10)   # warm
+        def t_of(n):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                chain(n)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_short, t_long = t_of(20), t_of(120)
+        row["device_compute_ms"] = round(1e3 * (t_long - t_short) / 100, 4)
+        row["kernel_call_ms"] = round(
+            med(lambda: jax.block_until_ready(kernel_once())), 3)
+        row["dispatch_overhead_ms"] = round(
+            row["kernel_call_ms"] - row["device_compute_ms"], 3)
+    row["scorer_ms"] = round(med(lambda: scorer.topk_for_users(uid, k=10)), 3)
+    row["server_ms"] = round(med(lambda: server.recommend_batch(uid, k=10)), 3)
+    row["api_ms"] = round(med(
+        lambda: api.dispatch("POST", "/api/v1/recommendations", body)), 3)
+    server.close()
+    return row
+
+
 def main():
     setup_logging("WARNING")
     sequence = "--sequence" in sys.argv
@@ -118,6 +209,25 @@ def main():
     num_items = int(args[0]) if args else 62_423
     reqs = int(args[1]) if len(args) > 1 else 200
     os.makedirs("results", exist_ok=True)
+    if "--inprocess" in sys.argv:
+        # latency budget (no HTTP) + a 1-client HTTP row for the final
+        # http-layer delta
+        row = inprocess_budget(num_items, sequence=sequence)
+        server = build_server(num_items, coalesce=False, sequence=sequence)
+        api = RecommendationAPI(server)
+        httpd = serve(api, "127.0.0.1", PORT + 7, background=True)
+        try:
+            run_load(PORT + 7, 1, 5, server.cfg.model.num_users)  # warm
+            http = run_load(PORT + 7, 1, 100, server.cfg.model.num_users)
+        finally:
+            httpd.shutdown()
+            server.close()
+        row["http_1client_p50_ms"] = http["p50_ms"]
+        row["http_layer_ms"] = round(http["p50_ms"] - row["api_ms"], 3)
+        print(json.dumps(row), flush=True)
+        with open("results/serving_budget.jsonl", "a") as f:
+            f.write(json.dumps(row) + "\n")
+        return
     rows = []
     for coalesce in (False, True):
         server = build_server(num_items, coalesce, sequence=sequence)

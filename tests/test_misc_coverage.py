@@ -61,3 +61,21 @@ class TestCliConsolidate:
         assert main(["consolidate", "--output", out_dir] + overrides) == 0
         assert os.path.exists(os.path.join(out_dir, "manifest.json"))
         assert "consolidated" in capsys.readouterr().out
+
+
+def test_sparse_min_bytes_roofline_shape():
+    """The big-vocab roofline (bench.sparse_min_bytes) must scale with
+    touched rows, not the vocabulary, and order floor < asshipped."""
+    import bench
+
+    a = bench.sparse_min_bytes(B=16384, S=5, U=9_000_000, V=3_000_000,
+                               dense_b=1_000_000)
+    b = bench.sparse_min_bytes(B=32768, S=5, U=9_000_000, V=3_000_000,
+                               dense_b=1_000_000)
+    c = bench.sparse_min_bytes(B=16384, S=5, U=90_000_000, V=30_000_000,
+                               dense_b=1_000_000)
+    assert a["floor"] < a["asshipped"]
+    # doubling the batch roughly doubles touched-row traffic
+    assert 1.8 < (b["floor"] - 3_000_000) / (a["floor"] - 3_000_000) < 2.2
+    # 10x the vocab changes NOTHING (the whole point of sparse updates)
+    assert c == a
