@@ -109,6 +109,45 @@ def main():
     print("BEST:", {k: round(v, 4) for k, v in best.items()
                     if isinstance(v, (int, float))}, flush=True)
 
+    # ---- re-score the best checkpoint under the EXACT full-catalog
+    # protocol (round-4 verdict item 1: both protocols side-by-side at
+    # the ML-25M scale, not only ML-1M)
+    import json
+
+    from ncf_tpu.evals.full_eval import FullCatalogEvaluator
+    from ncf_tpu.train import checkpoint as ckpt_lib
+
+    best_ckpt = (ckpt_lib.find_best(cfg.train.checkpoint_dir)
+                 or ckpt_lib.find_latest(cfg.train.checkpoint_dir))
+    params = trainer.params
+    if best_ckpt:
+        state, _ = ckpt_lib.restore(best_ckpt, {"params": trainer.params})
+        params = state["params"]
+    t2 = time.time()
+    ev = FullCatalogEvaluator(
+        cfg.model, trainer.full,
+        np.asarray(trainer.eval_set.users),
+        np.asarray(trainer.eval_set.candidates[:, 0]),
+        user_history=trainer.eval_history,
+        item_dept=trainer.item_dept, item_cat=trainer.item_cat)
+    full_m = ev(params)
+    keys = ("hr@10", "ndcg@10", "mrr@10", "map@10", "hr@5", "hr@1",
+            "mean_rank")
+    row = {
+        "scale": "ml25m", "use_sequence": use_sequence,
+        "sampled": {k: round(float(best[k]), 5) for k in keys if k in best},
+        "full": {k: round(float(full_m[k]), 5) for k in keys if k in full_m},
+        "full_eval_wall_s": round(time.time() - t2, 1),
+    }
+    print("PROTOCOLS:", json.dumps(row), flush=True)
+    with open("results/ml25m_protocols.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+    with open(cfg.train.metrics_file, "a") as f:
+        f.write(json.dumps({
+            "kind": "val", "epoch": int(best.get("epoch", -1)),
+            "eval_protocol_full": 1.0,
+            **{k: float(full_m[k]) for k in keys if k in full_m}}) + "\n")
+
 
 if __name__ == "__main__":
     main()
