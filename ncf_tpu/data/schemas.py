@@ -20,10 +20,12 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 Column = Tuple[str, str, str]
 
-# Condensed contracts of the reference's 5 warehouse tables
-# (schemas.py:4-414; the reference's store_dim has ~165 columns of which
-# the recommendation path consumes none — the identity/location/profile
-# core is kept, the amenity flag farm is represented by `amenities`).
+# Contracts of the reference's 5 warehouse tables (schemas.py:4-414).
+# store_dim carries the reference's FULL 167-column profile (round 5 —
+# reference store exports round-trip losslessly) prefixed by this
+# framework's condensed core; the other tables keep condensed contracts
+# (their extra reference columns are denormalized copies the
+# recommendation path never reads).
 SCHEMA_DEFINITIONS: Dict[str, List[Column]] = {
     "loyalty_customer_dim": [
         ("cardnumber", "STRING", "REQUIRED"),
@@ -40,6 +42,14 @@ SCHEMA_DEFINITIONS: Dict[str, List[Column]] = {
         ("lifetime_points", "FLOAT64", "NULLABLE"),
         ("first_transaction_location_id", "STRING", "NULLABLE"),
     ],
+    # Full-breadth store profile: the reference's 167-column store_dim
+    # contract (store_generator.py:8-668 / schemas.py store_dim section)
+    # so reference-side store exports round-trip losslessly, plus this
+    # framework's condensed core columns (location_id..amenities) that
+    # the earlier rounds shipped.  Column families: identity/location,
+    # access geometry, fuel/EV, food service, retail services, staffing/
+    # systems, management, lifecycle dates.  DATE columns carry ISO
+    # "YYYY-MM-DD" strings (the BigQuery DATE JSON form).
     "store_dim": [
         ("location_id", "STRING", "REQUIRED"),
         ("store_type", "STRING", "REQUIRED"),
@@ -49,6 +59,173 @@ SCHEMA_DEFINITIONS: Dict[str, List[Column]] = {
         ("location_profile", "STRING", "NULLABLE"),
         ("open_date", "TIMESTAMP", "NULLABLE"),
         ("amenities", "STRING", "REPEATED"),
+        ("store_number", "INT64", "REQUIRED"),
+        ("store_number_label", "STRING", "NULLABLE"),
+        ("ATM", "STRING", "NULLABLE"),
+        ("Access_Points", "INT64", "NULLABLE"),
+        ("Alcohol_Type", "STRING", "NULLABLE"),
+        ("Allow_Pct_Shrink_Grocery", "FLOAT64", "NULLABLE"),
+        ("At_Divided_Highway", "BOOL", "NULLABLE"),
+        ("Auto_Diesel_Dispenser_Cnt", "INT64", "NULLABLE"),
+        ("BMS_Status", "STRING", "NULLABLE"),
+        ("Beer_Wine", "BOOL", "NULLABLE"),
+        ("Big_6_Ice_Cream", "STRING", "NULLABLE"),
+        ("Bitcoin_Kiosk", "STRING", "NULLABLE"),
+        ("Board_Market", "STRING", "NULLABLE"),
+        ("Brand_Refresh", "DATE", "NULLABLE"),
+        ("Building_Type", "STRING", "NULLABLE"),
+        ("Bulk_DEF", "BOOL", "NULLABLE"),
+        ("Car_Wash_Brand", "BOOL", "NULLABLE"),
+        ("Car_Wash_Region", "STRING", "NULLABLE"),
+        ("Car_Wash_Type", "BOOL", "NULLABLE"),
+        ("Carwash_ICS_Site_ID", "INT64", "NULLABLE"),
+        ("Cig_Market", "STRING", "NULLABLE"),
+        ("City", "STRING", "NULLABLE"),
+        ("Close_Date", "DATE", "NULLABLE"),
+        ("Coffee_Brewers", "STRING", "NULLABLE"),
+        ("Coke_Freestyle", "BOOL", "NULLABLE"),
+        ("Community", "BOOL", "NULLABLE"),
+        ("Construction_Maintenance", "STRING", "NULLABLE"),
+        ("Corner_Location", "BOOL", "NULLABLE"),
+        ("County", "STRING", "NULLABLE"),
+        ("Crypto_Currency_Acceptance", "STRING", "NULLABLE"),
+        ("Curbside", "BOOL", "NULLABLE"),
+        ("DMA", "STRING", "NULLABLE"),
+        ("Delivery", "BOOL", "NULLABLE"),
+        ("Diesel", "BOOL", "NULLABLE"),
+        ("Diesel_Pumps", "INT64", "NULLABLE"),
+        ("District_Manager", "STRING", "NULLABLE"),
+        ("District_Manager_Employee_ID", "INT64", "NULLABLE"),
+        ("District_Number", "STRING", "NULLABLE"),
+        ("Divided_Side_Road", "BOOL", "NULLABLE"),
+        ("Door_Dash", "BOOL", "NULLABLE"),
+        ("Drive_Thru", "BOOL", "NULLABLE"),
+        ("Drive_Thru_POS_Number", "INT64", "NULLABLE"),
+        ("E0_Gas", "BOOL", "NULLABLE"),
+        ("E15_Gas", "BOOL", "NULLABLE"),
+        ("E85_Gas", "BOOL", "NULLABLE"),
+        ("EV_Charger_Plug_Type", "STRING", "NULLABLE"),
+        ("EV_PARKING_TOTAL_STALLS", "INT64", "NULLABLE"),
+        ("EV_PLUGTYPE_CCS", "BOOL", "NULLABLE"),
+        ("EV_PLUGTYPE_CHADEMO", "BOOL", "NULLABLE"),
+        ("EV_PLUGTYPE_J1772", "BOOL", "NULLABLE"),
+        ("EV_PLUGTYPE_NACS", "BOOL", "NULLABLE"),
+        ("EV_POWER_MAX", "FLOAT64", "NULLABLE"),
+        ("Electric_Vehicle_Charger", "BOOL", "NULLABLE"),
+        ("Espresso_Machine", "STRING", "NULLABLE"),
+        ("FEIN", "STRING", "NULLABLE"),
+        ("Fax_Telephone_Number", "STRING", "NULLABLE"),
+        ("Flex_Coverage_Start_Date", "DATE", "NULLABLE"),
+        ("Fryers", "STRING", "NULLABLE"),
+        ("Fuelman_Site_ID", "INT64", "NULLABLE"),
+        ("Full_Time_Employees", "INT64", "NULLABLE"),
+        ("Going_Home_Work", "STRING", "NULLABLE"),
+        ("Grub_Hub", "BOOL", "NULLABLE"),
+        ("HFTD_System", "STRING", "NULLABLE"),
+        ("Heating_Source", "STRING", "NULLABLE"),
+        ("High_Flow_Auto_Disp_Cnt", "INT64", "NULLABLE"),
+        ("Hours_Closed", "STRING", "NULLABLE"),
+        ("In_Store_Available", "BOOL", "NULLABLE"),
+        ("Inside_Seating", "INT64", "NULLABLE"),
+        ("Interstate", "BOOL", "NULLABLE"),
+        ("Kerosene", "BOOL", "NULLABLE"),
+        ("Kirk_Key", "BOOL", "NULLABLE"),
+        ("Kronos_Maximum_Headcount", "INT64", "NULLABLE"),
+        ("Kronos_Minimum_Headcount", "INT64", "NULLABLE"),
+        ("Kronos_Store", "STRING", "NULLABLE"),
+        ("Kronos_WTK_Rollout_Date", "DATE", "NULLABLE"),
+        ("Last_Rebuild_Date", "DATE", "NULLABLE"),
+        ("Last_Remodel_Date", "DATE", "NULLABLE"),
+        ("Latitude", "FLOAT64", "NULLABLE"),
+        ("Locality", "STRING", "NULLABLE"),
+        ("Location_Type", "STRING", "NULLABLE"),
+        ("Longitude", "FLOAT64", "NULLABLE"),
+        ("Lot_Square_Footage", "FLOAT64", "NULLABLE"),
+        ("MPD", "INT64", "NULLABLE"),
+        ("MTO_Tier", "STRING", "NULLABLE"),
+        ("Main_Register", "INT64", "NULLABLE"),
+        ("Main_Road_Access_Type", "STRING", "NULLABLE"),
+        ("Maint_ASM", "STRING", "NULLABLE"),
+        ("Maint_Area", "INT64", "NULLABLE"),
+        ("Maint_Car_Wash_Tech", "STRING", "NULLABLE"),
+        ("Maint_Equipment_Tech", "STRING", "NULLABLE"),
+        ("Maint_FSM", "STRING", "NULLABLE"),
+        ("Maint_Facility_Support_Tech", "STRING", "NULLABLE"),
+        ("Maint_Geographical_Area", "STRING", "NULLABLE"),
+        ("Maint_Sub_Area", "STRING", "NULLABLE"),
+        ("Manager_Employee_ID", "INT64", "NULLABLE"),
+        ("Manager_Name", "STRING", "NULLABLE"),
+        ("Manager_Sheetz_Experience_Years", "INT64", "NULLABLE"),
+        ("Manager_Start_Date", "DATE", "NULLABLE"),
+        ("Marketing_Zone", "STRING", "NULLABLE"),
+        ("Meals_Tax_Percentage", "FLOAT64", "NULLABLE"),
+        ("Municipality", "STRING", "NULLABLE"),
+        ("NR_Rate", "INT64", "NULLABLE"),
+        ("OS_Max_Amount", "INT64", "NULLABLE"),
+        ("Occupancy", "INT64", "NULLABLE"),
+        ("Online_Ordering", "BOOL", "NULLABLE"),
+        ("Open_Date", "DATE", "NULLABLE"),
+        ("Other_Tier", "STRING", "NULLABLE"),
+        ("OutSide_Seating", "INT64", "NULLABLE"),
+        ("Ovens", "STRING", "NULLABLE"),
+        ("PSDCode", "INT64", "NULLABLE"),
+        ("Parking_Stalls", "INT64", "NULLABLE"),
+        ("Part_Time_Employees", "INT64", "NULLABLE"),
+        ("Pizza_Oven", "INT64", "NULLABLE"),
+        ("Postal_Code", "STRING", "NULLABLE"),
+        ("Pre_Live_Date", "DATE", "NULLABLE"),
+        ("Private_Systems", "STRING", "NULLABLE"),
+        ("Propane", "BOOL", "NULLABLE"),
+        ("Pump_Activation", "BOOL", "NULLABLE"),
+        ("Pumps_Closed", "BOOL", "NULLABLE"),
+        ("RPOS_Major_Revision", "FLOAT64", "NULLABLE"),
+        ("RTE_SS_Coffee_Tier", "STRING", "NULLABLE"),
+        ("RTE_Tier", "STRING", "NULLABLE"),
+        ("RTU_Tonnage", "FLOAT64", "NULLABLE"),
+        ("Region_Number", "STRING", "NULLABLE"),
+        ("Regional_Manager", "STRING", "NULLABLE"),
+        ("Replen_Store_Closing", "DATE", "NULLABLE"),
+        ("Replen_Store_Opening", "DATE", "NULLABLE"),
+        ("Replen_Temp_Close", "BOOL", "NULLABLE"),
+        ("Rollover_Phone_Line", "STRING", "NULLABLE"),
+        ("SBC_Tier", "STRING", "NULLABLE"),
+        ("SCO_Lanes", "INT64", "NULLABLE"),
+        ("SHCAN_Go", "BOOL", "NULLABLE"),
+        ("SS_Coffee_Tier", "STRING", "NULLABLE"),
+        ("SS_Store_Config_Type", "INT64", "NULLABLE"),
+        ("School", "BOOL", "NULLABLE"),
+        ("Sells_Alcohol", "BOOL", "NULLABLE"),
+        ("Showers", "BOOL", "NULLABLE"),
+        ("Side_Road_Access", "STRING", "NULLABLE"),
+        ("Signalized_Intersection", "BOOL", "NULLABLE"),
+        ("Smart_Safe", "BOOL", "NULLABLE"),
+        ("Special_Directions", "STRING", "NULLABLE"),
+        ("State", "STRING", "NULLABLE"),
+        ("Store_Airport_Lookup", "STRING", "NULLABLE"),
+        ("Store_Close_Date", "DATE", "NULLABLE"),
+        ("Store_Folder_Redirect", "STRING", "NULLABLE"),
+        ("Store_Kronos_ID", "INT64", "NULLABLE"),
+        ("Store_Name", "STRING", "NULLABLE"),
+        ("Store_Square_Footage", "INT64", "NULLABLE"),
+        ("Street", "STRING", "NULLABLE"),
+        ("Telephone_Number", "STRING", "NULLABLE"),
+        ("Temporarily_Closed", "BOOL", "NULLABLE"),
+        ("Tier", "STRING", "NULLABLE"),
+        ("Total_Employees", "INT64", "NULLABLE"),
+        ("Travel_Center", "BOOL", "NULLABLE"),
+        ("Truck_Diesel_Lane_Cnt", "INT64", "NULLABLE"),
+        ("Truck_Parking_Spaces", "INT64", "NULLABLE"),
+        ("Truck_Scale", "BOOL", "NULLABLE"),
+        ("Turnover_Date", "DATE", "NULLABLE"),
+        ("Uber_Eats", "BOOL", "NULLABLE"),
+        ("VA_ABC_DELIVERY_PERMIT", "STRING", "NULLABLE"),
+        ("WV_DMV_Kiosk", "BOOL", "NULLABLE"),
+        ("Wage_Area", "STRING", "NULLABLE"),
+        ("Washer_Dryer", "INT64", "NULLABLE"),
+        ("White_Block_Remodel_Date", "DATE", "NULLABLE"),
+        ("WiFi", "BOOL", "NULLABLE"),
+        ("Zone", "STRING", "NULLABLE"),
+        ("store_status", "STRING", "NULLABLE"),
     ],
     "product_features": [
         ("product_id", "STRING", "REQUIRED"),
@@ -100,6 +277,7 @@ _PY_TYPES = {
     "FLOAT64": (int, float),
     "BOOL": bool,
     "TIMESTAMP": (int, float, str),
+    "DATE": str,               # ISO "YYYY-MM-DD" (BigQuery DATE JSON form)
 }
 
 

@@ -47,6 +47,10 @@ CONFIGS = {
     # non-sequence independent record (hr@10 0.7377, round 2)
     "indep": dict(candidate_mode="independent", use_sequence=False,
                   epochs=12, early_stopping_metric="val_loss"),
+    # budget-matched control for the sequence-gain claim: same 40-epoch
+    # hr@10-selected recipe as indep_seq, sequence OFF
+    "indep40": dict(candidate_mode="independent", use_sequence=False,
+                    epochs=40, early_stopping_metric="hr@10"),
     # reference-semantics joint mode
     "joint": dict(candidate_mode="joint", use_sequence=False,
                   epochs=18, early_stopping_metric="val_loss"),

@@ -82,6 +82,45 @@ class TestGenerators:
         for r in rows:
             assert len(r["amenities"]) > 0
 
+    def test_stores_full_profile_breadth(self):
+        """Round 5: the full 167-column reference store profile
+        (reference store_generator.py:8-668) is present and coherent."""
+        from ncf_tpu.data.schemas import SCHEMA_DEFINITIONS
+
+        cols = {c[0] for c in SCHEMA_DEFINITIONS["store_dim"]}
+        # the reference contract (167 cols) + this framework's 8-col core
+        assert len(cols) >= 170
+        rows = generate_stores(200, seed=0)
+        for r in rows:
+            assert cols == set(r), (cols - set(r), set(r) - cols)
+            # cross-field coherence
+            if r["store_type"] == "travel_center":
+                assert r["Travel_Center"] and r["Diesel"] and r["Showers"]
+                assert r["Truck_Diesel_Lane_Cnt"] > 0
+            if r["store_type"] == "urban":
+                assert not r["Diesel"] and r["MPD"] == 0
+            if not r["Electric_Vehicle_Charger"]:
+                assert r["EV_PARKING_TOTAL_STALLS"] == 0
+                assert not r["EV_PLUGTYPE_CCS"]
+            assert r["Total_Employees"] == (
+                r["Full_Time_Employees"] + r["Part_Time_Employees"])
+            assert r["Sells_Alcohol"] == r["Beer_Wine"]
+            if r["store_status"] == "OPEN":
+                assert r["Close_Date"] == ""
+            # DATE columns carry ISO strings
+            assert len(r["Open_Date"].split("-")) == 3
+        assert any(r["store_status"] == "CLOSED" for r in rows)
+        # round-trip through the schema-validating writer
+        import tempfile
+
+        from ncf_tpu.data.schemas import DatasetWriter
+
+        with tempfile.TemporaryDirectory() as d:
+            w = DatasetWriter(d)
+            w.insert_rows("store_dim", rows)
+            back = list(w.read_rows("store_dim"))
+            assert back == rows
+
     def test_products_names_and_taxonomy(self):
         rows, dept, cat = generate_products(120, seed=0)
         assert len(rows) == 120
