@@ -26,13 +26,29 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import time
+
 import jax.numpy as jnp
 import numpy as np
 
-from bench_step_floors import dep, scan_time_us
-
 D = 128
 N = 98_304          # touched rows/step of the 16384-batch sparse step
+
+
+def _marginal_us(make, args, n_short=4, n_long=24, reps=4):
+    """Big operands must be jit ARGUMENTS (closed-over arrays embed as
+    HLO constants and blow the remote-compile tunnel's request limit)."""
+    def t_of(nn):
+        run = make(nn)
+        _ = np.asarray(run(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(run(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return 1e6 * (t_of(n_long) - t_of(n_short)) / (n_long - n_short)
 
 
 def main():
@@ -43,37 +59,34 @@ def main():
         ids = jnp.asarray(rng.integers(0, R, N), jnp.int32)
         g = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
 
-        us = scan_time_us(
-            lambda c: dep(jnp.take(table, ids + c, axis=0)),
-            n_short=4, n_long=24, reps=4)
+        def make_gather(nn):
+            @jax.jit
+            def run(table, ids):
+                def step(c, _):
+                    rows = jnp.take(table, ids + c, axis=0)
+                    c2 = (rows[0, 0] * 1e-30).astype(jnp.int32)
+                    return c2, ()
+                c, _ = jax.lax.scan(
+                    step, jnp.zeros((), jnp.int32), None, length=nn)
+                return c
+            return run
+
+        us = _marginal_us(make_gather, (table, ids))
         key = f"R{R}"
         out[key] = {"gather_us": round(us, 1),
                     "gather_ns_per_row": round(1e3 * us / N, 2)}
 
-        # scatter: the TABLE is the scan carry so XLA updates it in
-        # place (a closed-over table would be copied every iteration)
-        import time
-
-        def make(nn):
+        # scatter: the TABLE is the scan carry so XLA updates in place
+        def make_scatter(nn):
             @jax.jit
-            def run(tab):
+            def run(tab, ids, g):
                 def step(tab, _):
                     return tab.at[ids].add(g), ()
                 tab, _ = jax.lax.scan(step, tab, None, length=nn)
                 return tab[0, 0]
             return run
 
-        def t_of(nn):
-            run = make(nn)
-            _ = np.asarray(run(table))
-            best = float("inf")
-            for _ in range(4):
-                t0 = time.perf_counter()
-                _ = np.asarray(run(table))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        us_s = 1e6 * (t_of(24) - t_of(4)) / 20
+        us_s = _marginal_us(make_scatter, (table, ids, g))
         out[key]["xla_scatter_us"] = round(us_s, 1)
         out[key]["xla_scatter_ns_per_row"] = round(1e3 * us_s / N, 2)
         # free the 4.6 GB table before the next size
