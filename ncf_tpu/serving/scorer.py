@@ -60,6 +60,23 @@ def _context_key(temporal: Optional[Dict[str, int]]) -> Tuple:
     return tuple(sorted((k, int(v)) for k, v in temporal.items()))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "impl", "seg_top"))
+def _take_topk(user_queries, user_ids, mod, items, bias, *, k, impl,
+               seg_top):
+    """Query-row gather fused into the retrieval dispatch: the
+    in-process latency budget (BENCH_NOTES round 5) showed the base
+    scorer paying TWO device dispatches per request — query build, then
+    retrieval — and under a remote runtime each dispatch costs a full
+    round-trip (~22 ms on the axon tunnel, 92% of single-request p50).
+    One jitted program halves that.  ``mod`` is the optional rank-1
+    hour modulation folded into the query side (None for the plain
+    path)."""
+    q = jnp.take(user_queries, user_ids, axis=0)
+    if mod is not None:
+        q = q * mod[None, :]
+    return topk_scores(q, items, k, bias, impl=impl, seg_top=seg_top)
+
+
 class AdvancedNCFScorer:
     """Exact full-model top-k retrieval for AdvancedNCF via the
     dot-product + item-bias decomposition."""
@@ -283,9 +300,9 @@ class AdvancedNCFScorer:
         the query vector + a cached per-hour item bias."""
         user_ids = jnp.asarray(user_ids, jnp.int32)
         mod = self._hour_mod(hour)
-        q = self.user_query(user_ids) * mod[None, :]
         bias = self._hourly_item_bias(hour)
-        return self._retrieve(q, ("hour_bias", hour), bias, k, exclude,
+        return self._retrieve(("ids", user_ids, mod), ("hour_bias", hour),
+                              bias, k, exclude,
                               q_maxabs=self._q_maxabs * jnp.abs(mod))
 
     def topk_for_users(
@@ -300,14 +317,35 @@ class AdvancedNCFScorer:
         ``exclude``: optional per-user already-seen items; retrieval
         over-fetches and filters so k results survive."""
         user_ids = jnp.asarray(user_ids, jnp.int32)
-        q = self.user_query(user_ids)
         bias = self.item_bias(temporal)
-        return self._retrieve(q, _context_key(temporal), bias, k, exclude)
+        return self._retrieve(("ids", user_ids, None), _context_key(temporal),
+                              bias, k, exclude)
 
     def _retrieve(self, q, key, bias, k, exclude, q_maxabs=None):
         """Shared retrieval tail: prepared-table streaming top-k (with
         the int8 tiers' over-fetch + exact rescore), exclusion
-        filtering, sigmoid."""
+        filtering, sigmoid.
+
+        ``q`` is either materialized query vectors [B, dmf] or a lazy
+        ``("ids", user_ids, mod_or_None)`` spec — lazy specs fuse the
+        query-row gather into the retrieval dispatch (``_take_topk``),
+        one device round-trip per request instead of two."""
+        lazy = isinstance(q, tuple) and len(q) == 3 and q[0] == "ids"
+        if lazy:
+            _, _ids, _mod = q
+
+        def run_topk(items_, n_, bias_, impl_, seg_top_):
+            if lazy:
+                return _take_topk(self.user_queries, _ids, _mod, items_,
+                                  bias_, k=n_, impl=impl_, seg_top=seg_top_)
+            return topk_scores(q, items_, n_, bias_,
+                               impl=impl_, seg_top=seg_top_)
+
+        def materialize_q():
+            if not lazy:
+                return q
+            qq = self.user_query(_ids)
+            return qq * _mod[None, :] if _mod is not None else qq
         fetch = k if exclude is None else min(
             self.cfg.num_items, k + exclude.shape[1])
         int8_cap = fetch + (_INT8_OVERFETCH if self._rescore else 0)
@@ -334,10 +372,10 @@ class AdvancedNCFScorer:
                         self.item_vecs, bias, seg_width=128)
                 prep = self._prepared_cache[bkey]
             if prep is not None:
-                vals, idxs = topk_scores(q, prep, fetch, seg_top=2)
+                vals, idxs = run_topk(prep, fetch, None, "auto", 2)
             else:
-                vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
-                                         impl=self.impl, seg_top=2)
+                vals, idxs = run_topk(self.item_vecs, fetch, bias,
+                                      self.impl, 2)
             vals, idxs = np.asarray(vals), np.asarray(idxs)
             if exclude is not None:
                 vals, idxs = _filter_excluded(vals, idxs, exclude, k)
@@ -355,14 +393,15 @@ class AdvancedNCFScorer:
                 # (recall 0.966 -> 0.993 measured at +6, BENCH_NOTES)
                 kern_fetch = min(fetch + _INT8_OVERFETCH,
                                  self.cfg.num_items)
-            vals, idxs = topk_scores(q, prep, kern_fetch,
-                                     seg_top=self._seg_top)
+            vals, idxs = run_topk(prep, kern_fetch, None, "auto",
+                                  self._seg_top)
             if self._rescore and isinstance(prep, PreparedItemsInt8):
-                vals, idxs = rescore_exact(q, self.item_vecs, bias, idxs)
+                vals, idxs = rescore_exact(materialize_q(), self.item_vecs,
+                                           bias, idxs)
                 vals, idxs = vals[:, :fetch], idxs[:, :fetch]
         else:
-            vals, idxs = topk_scores(q, self.item_vecs, fetch, bias,
-                                     impl=self.impl, seg_top=self._seg_top)
+            vals, idxs = run_topk(self.item_vecs, fetch, bias,
+                                  self.impl, self._seg_top)
         vals, idxs = np.asarray(vals), np.asarray(idxs)
         if exclude is not None:
             vals, idxs = _filter_excluded(vals, idxs, exclude, k)
