@@ -10,6 +10,11 @@ against our own first measured round — see BENCH_NOTES.md).
 Extra metrics (top-k scoring QPS, eval latency) are reported as
 additional JSON lines prefixed with '#' so the driver's one-line contract
 holds for the primary metric.
+
+Measurement variance (round 5, results/bench_variance_r5.jsonl): N=5
+back-to-back runs spread +-1.8% on examples/s (median 12.20M,
+vs_baseline 1.083) and +-3.2% on top-k users/s (median 317k) — any
+single-run delta inside those bands is noise, not a regression.
 """
 
 from __future__ import annotations
