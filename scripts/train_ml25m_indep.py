@@ -103,6 +103,11 @@ def main():
               f"({time.time() - t0:.0f}s to generate)", flush=True)
 
     trainer = Trainer(cfg, inter)
+    if "--resume" in sys.argv:
+        # tunnel stalls kill long runs occasionally (see the round-2
+        # note above); restart with --resume to continue from the
+        # latest checkpoint instead of epoch 0
+        print("resumed:", trainer.resume(), flush=True)
     t1 = time.time()
     best = trainer.train()
     print(f"train wall: {time.time() - t1:.0f}s", flush=True)
