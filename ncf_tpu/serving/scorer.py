@@ -376,7 +376,7 @@ class AdvancedNCFScorer:
             else:
                 vals, idxs = run_topk(self.item_vecs, fetch, bias,
                                       self.impl, 2)
-            vals, idxs = np.asarray(vals), np.asarray(idxs)
+            vals, idxs = jax.device_get((vals, idxs))
             if exclude is not None:
                 vals, idxs = _filter_excluded(vals, idxs, exclude, k)
             return _sigmoid(vals), idxs
@@ -402,7 +402,7 @@ class AdvancedNCFScorer:
         else:
             vals, idxs = run_topk(self.item_vecs, fetch, bias,
                                   self.impl, self._seg_top)
-        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        vals, idxs = jax.device_get((vals, idxs))
         if exclude is not None:
             vals, idxs = _filter_excluded(vals, idxs, exclude, k)
         return _sigmoid(vals), idxs
@@ -591,7 +591,8 @@ class SequenceRescoreScorer(AdvancedNCFScorer):
             self.params, self.user_queries, items, bias_arg, user_ids, t,
             self.item_dept, self.item_cat, self.user_history, excl,
             k=k, fetch=fetch, seg_top=self._seg_top)
-        return _sigmoid(np.asarray(vals)), np.asarray(idxs)
+        vals, idxs = jax.device_get((vals, idxs))
+        return _sigmoid(vals), idxs
 
     def score_pairs(self, user_ids, item_ids,
                     temporal: Optional[Dict[str, int]] = None) -> np.ndarray:
@@ -710,7 +711,8 @@ class BruteForceScorer:
         fetch = k if exclude is None else min(
             self.cfg.num_items, k + exclude.shape[1])
         vals, idxs = self._scan_topk(self.params, user_ids, t, fetch)
-        vals, idxs = _sigmoid(np.asarray(vals)), np.asarray(idxs)
+        vals, idxs = jax.device_get((vals, idxs))
+        vals = _sigmoid(vals)
         if exclude is not None:
             vals, idxs = _filter_excluded(vals, idxs, exclude, k)
         return vals, idxs
