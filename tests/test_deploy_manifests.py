@@ -173,3 +173,94 @@ def test_service_selectors_match_pod_labels():
                    for k, v in sel.items())]
         assert match, (f"service {svc['metadata']['name']} selector {sel} "
                        f"matches no deployment pods")
+
+
+# ---- provisioning layer (round 5: deploy/k8s/provision.yaml +
+# deploy/provision.sh — the reference terraform/setup-scripts analogue,
+# terraform/main.tf:22-120, scripts/0. setup/)
+
+PROVISION = K8S / "provision.yaml"
+PROVISION_SH = REPO / "deploy" / "provision.sh"
+
+
+def _prov_docs():
+    return [d for d in yaml.safe_load_all(PROVISION.read_text()) if d]
+
+
+def test_provision_parses_and_is_namespaced():
+    docs = _prov_docs()
+    kinds = {d["kind"] for d in docs}
+    assert {"Namespace", "ServiceAccount", "Role", "RoleBinding",
+            "ResourceQuota", "NetworkPolicy"} <= kinds
+    for d in docs:
+        if d["kind"] != "Namespace":
+            assert d["metadata"].get("namespace") == "ncf-tpu", d["kind"]
+
+
+def test_provision_service_account_is_used_by_workloads():
+    sa = [d for d in _prov_docs() if d["kind"] == "ServiceAccount"][0]
+    name = sa["metadata"]["name"]
+    for _, dep in _by_kind("Deployment") + _by_kind("Job"):
+        if dep["metadata"]["name"].startswith("ncf-tpu-redis"):
+            continue  # redis runs with the namespace default SA
+        spec = dep["spec"]["template"]["spec"]
+        assert spec.get("serviceAccountName") == name, dep["metadata"]["name"]
+    # and the RoleBinding binds that SA to the namespace Role
+    rb = [d for d in _prov_docs() if d["kind"] == "RoleBinding"][0]
+    assert any(s["name"] == name for s in rb["subjects"])
+    role_names = {d["metadata"]["name"] for d in _prov_docs()
+                  if d["kind"] == "Role"}
+    assert rb["roleRef"]["name"] in role_names
+
+
+def test_network_policies_match_real_ports_and_labels():
+    pols = [d for d in _prov_docs() if d["kind"] == "NetworkPolicy"]
+    by_name = {d["metadata"]["name"]: d for d in pols}
+
+    # real pod labels from the workload manifests
+    labels = {}
+    for _, dep in _by_kind("Deployment"):
+        labels[dep["metadata"]["name"]] = (
+            dep["spec"]["template"]["metadata"]["labels"])
+    redis_pol = by_name["redis-from-api-only"]
+    assert (redis_pol["spec"]["podSelector"]["matchLabels"]
+            == labels["ncf-tpu-redis"])
+    ingress = redis_pol["spec"]["ingress"][0]
+    assert (ingress["from"][0]["podSelector"]["matchLabels"]
+            == labels["ncf-tpu-api"])
+    # policy port == the redis containerPort
+    redis_dep = [d for _, d in _by_kind("Deployment")
+                 if d["metadata"]["name"] == "ncf-tpu-redis"][0]
+    redis_port = _containers(redis_dep)[0]["ports"][0]["containerPort"]
+    assert ingress["ports"][0]["port"] == redis_port
+
+    api_pol = by_name["api-ingress"]
+    api_port = _containers(
+        [d for _, d in _by_kind("Deployment")
+         if d["metadata"]["name"] == "ncf-tpu-api"][0])[0][
+        "ports"][0]["containerPort"]
+    assert api_pol["spec"]["ingress"][0]["ports"][0]["port"] == api_port
+
+
+def test_quota_covers_declared_capacity():
+    quota = [d for d in _prov_docs() if d["kind"] == "ResourceQuota"][0]
+    hard = quota["spec"]["hard"]
+    # reference capacity: 10 API instances x 2 CPU (terraform
+    # maxScale 10, 2 CPU / 2Gi) + train 4 + redis 1 must fit
+    assert float(hard["limits.cpu"]) >= 10 * 2 + 4 + 1
+    assert int(hard["pods"]) >= 12
+
+
+def test_provision_script_applies_existing_files_in_order():
+    text = PROVISION_SH.read_text()
+    import re
+
+    files = re.findall(r'-f\s+"\$HERE/(k8s/[\w.-]+\.yaml)"', text)
+    assert files, "provision.sh applies no manifests?"
+    for f in files:
+        assert (REPO / "deploy" / f).exists(), f
+    # provisioning must come first, serving last
+    assert files[0].endswith("provision.yaml")
+    assert files.index("k8s/redis.yaml") < files.index("k8s/api.yaml")
+    # the validate_setup.py analogue runs at the end
+    assert "ncf-tpu doctor" in text
